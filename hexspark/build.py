@@ -1,0 +1,246 @@
+"""Region-table construction: batch insert semantics + compaction.
+
+Reimplements the reference tree-build semantics
+(/root/reference/src/node.rs:23-73, /root/reference/src/compaction.rs:29-72)
+as set-oriented DataFrame transformations:
+
+1. **validate** — invalid raw indices quarantine to a side DataFrame
+   (the analogue of ``Error::Index``).
+2. **dedupe** — multiple values for the same exact cell resolve by a
+   *declared deterministic policy* (the reference's sequential
+   ``insert`` is order-dependent: last write wins at a leaf,
+   /root/reference/src/node.rs:34).
+3. **ancestor-wins** — a cell whose strict ancestor is also in the
+   input is dropped (inserting into a covered subtree is a no-op,
+   /root/reference/src/node.rs:35-38; inserting the ancestor later
+   replaces the subtree — batch form: the coarsest related cell wins).
+4. **compact** — bottom-up fixpoint: a parent with *all 7* children
+   present (Set) / present-and-equal (Eq) replaces them
+   (/root/reference/src/node.rs:54-73).  Note this is the reference's
+   own rule, NOT H3 ``compactCells``: pentagon parents (6 real
+   children) never compact, exactly like the reference.
+
+Scale shape: region tables are broadcast-scale (≤ millions of rows —
+continent-size regions compact to tens of thousands,
+/root/reference/README.md:29-31).  Ancestor-wins is a single
+window-function pass over ``lo``-sorted cells (no explode, no
+self-join); compaction is ONE shuffle — ``groupBy(base_cell)`` +
+``applyInPandas`` running a vectorized numpy fixpoint per base (the
+122 root slots, /root/reference/src/hex_tree_map.rs:66-71, are a
+natural partitioning: compaction never crosses a base boundary).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import cells as cx
+from . import cells_np as cnp
+from . import constants as K
+
+VALUE_POLICIES = ("min", "max", "count", "sum", "any")
+
+
+def validate_cells(df: DataFrame, cell_col: str = "cell") -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, quarantine) on ``Cell::from_raw`` rules."""
+    ok = cx.is_valid(cell_col)
+    return df.filter(ok), df.filter(~ok)
+
+
+def dedupe_cells(
+    df: DataFrame,
+    cell_col: str = "cell",
+    value_col: Optional[str] = None,
+    policy: str = "min",
+) -> DataFrame:
+    """Resolve duplicate exact cells with a deterministic value policy."""
+    if value_col is None:
+        return df.select(cell_col).distinct()
+    if policy not in VALUE_POLICIES:
+        raise ValueError(f"policy must be one of {VALUE_POLICIES}")
+    agg = {
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        "sum": F.sum,
+        "any": F.first,
+    }[policy]
+    return df.groupBy(cell_col).agg(agg(value_col).alias(value_col))
+
+
+def drop_covered(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Drop cells covered by a strict ancestor also present in ``df``.
+
+    Single window pass: sorted by (lo asc, res asc), every possible
+    ancestor of a row precedes it, so the row is covered iff the
+    running max of ``hi`` over preceding rows reaches its own ``hi``.
+    No explode, no self-join.
+    """
+    w = (
+        Window.partitionBy(cx.base_cell(cell_col))
+        .orderBy(F.col("__lo").asc(), F.col("__res").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__lo", cx.lo(cell_col))
+        .withColumn("__hi", cx.hi(cell_col))
+        .withColumn("__res", cx.res(cell_col))
+        .withColumn("__maxhi", F.max("__hi").over(w))
+        .filter(F.col("__maxhi").isNull() | (F.col("__maxhi") < F.col("__hi")))
+        .drop("__lo", "__hi", "__res", "__maxhi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy compaction core (runs per base-cell group, or driver-side)
+# ---------------------------------------------------------------------------
+
+def compact_np(
+    cells: np.ndarray,
+    values: Optional[np.ndarray] = None,
+    compactor: str = "set",
+) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """Bottom-up fixpoint compaction of pairwise non-related cells.
+
+    ``compactor``: 'none' (NullCompactor), 'set' (all 7 children
+    present), or 'eq' (all 7 present with equal values; parent takes
+    the value).  Mirrors /root/reference/src/compaction.rs:29-72.
+    """
+    cells = np.asarray(cells, dtype=np.int64)
+    if compactor == "none" or len(cells) == 0:
+        return cells, values
+    if compactor not in ("set", "eq"):
+        raise ValueError(f"unknown compactor {compactor!r}")
+    if compactor == "eq" and values is None:
+        raise ValueError("eq compactor requires values")
+
+    vals = None if values is None else np.asarray(values)
+    for r in range(K.MAX_RES, 0, -1):
+        rs = cnp.res(cells)
+        at = np.flatnonzero(rs == r)
+        if len(at) == 0:
+            continue
+        parents = cnp.to_parent(cells[at], r - 1)
+        if compactor == "set":
+            uniq, counts = np.unique(parents, return_counts=True)
+            full = uniq[counts == 7]
+        else:
+            pdf = pd.DataFrame({"p": parents, "v": vals[at]})
+            g = pdf.groupby("p")["v"].agg(["size", "nunique"])
+            full = g.index[(g["size"] == 7) & (g["nunique"] == 1)].to_numpy(
+                dtype=np.int64
+            )
+        if len(full) == 0:
+            continue
+        doomed_local = np.isin(parents, full)
+        doomed = at[doomed_local]
+        keep = np.ones(len(cells), dtype=bool)
+        keep[doomed] = False
+        full_sorted = np.sort(full)
+        if vals is not None:
+            # parent takes the (equal) children's value: sort doomed
+            # children by parent, take one representative per group of 7
+            child_parents = parents[doomed_local]
+            order = np.argsort(child_parents, kind="stable")
+            new_vals = vals[doomed][order][::7]
+            cells = np.concatenate([cells[keep], full_sorted])
+            vals = np.concatenate([vals[keep], new_vals])
+        else:
+            cells = np.concatenate([cells[keep], full_sorted])
+    return cells, vals
+
+
+# ---------------------------------------------------------------------------
+# distributed build
+# ---------------------------------------------------------------------------
+
+def compact_df(
+    df: DataFrame,
+    cell_col: str = "cell",
+    value_col: Optional[str] = None,
+    compactor: str = "set",
+) -> DataFrame:
+    """Distributed compaction: one shuffle, ``groupBy(base_cell)`` +
+    vectorized numpy fixpoint per base group.
+
+    Compaction can only merge siblings under one parent, so it never
+    crosses a base-cell boundary — the 122 root slots partition the
+    problem exactly.  For value types that aren't numpy-friendly the
+    'eq' compactor compares pandas object equality.
+    """
+    if compactor == "none":
+        return df
+    cols = [cell_col] + ([value_col] if value_col else [])
+    src = df.select(*cols)
+    schema = src.schema
+
+    def _compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cells = pdf[cell_col].to_numpy(dtype=np.int64)
+        vals = pdf[value_col].to_numpy() if value_col else None
+        out_c, out_v = compact_np(cells, vals, compactor=compactor)
+        out = {cell_col: out_c}
+        if value_col:
+            out[value_col] = out_v
+        return pd.DataFrame(out)
+
+    return src.groupBy(cx.base_cell(cell_col).alias("__base")).applyInPandas(
+        lambda key, pdf: _compact_group(pdf), schema=schema
+    )
+
+
+def build_region(
+    df: DataFrame,
+    cell_col: str = "cell",
+    value_col: Optional[str] = None,
+    compactor: str = "set",
+    dedupe_policy: str = "min",
+) -> DataFrame:
+    """Full build pipeline: validate → dedupe → ancestor-wins → compact.
+
+    Returns the compacted leaf table — the engine's ``HexTreeMap``
+    (``HexTreeSet`` when ``value_col`` is None).  Equivalent to
+    ``FromIterator`` + per-insert coalesce in the reference
+    (/root/reference/src/hex_tree_map.rs:291-331) under the declared
+    deterministic batch conflict policy (coarsest cell wins; exact
+    duplicates resolve by ``dedupe_policy``).
+    """
+    valid, _ = validate_cells(df, cell_col)
+    deduped = dedupe_cells(valid, cell_col, value_col, dedupe_policy)
+    pruned = drop_covered(deduped, cell_col)
+    return compact_df(pruned, cell_col, value_col, compactor)
+
+
+def uncompact_df(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
+    """Expand every cell to all its descendants at resolution ``res``.
+
+    Cells already at ``res`` pass through; finer cells are dropped
+    (cannot demote).  Inverse of compaction for idempotence checks:
+    ``compact(uncompact(compact(X), r)) == compact(X)`` when all of X
+    is at res ``r``.
+    """
+    out = df
+    for r in range(0, res):
+        child_shift = (K.MAX_RES - (r + 1)) * K.DIGIT_BITS
+        is_here = cx.res(cell_col) == r
+        children = F.array([F.lit(d) for d in range(7)])
+        out = out.withColumn(
+            "__d", F.explode(F.when(is_here, children).otherwise(F.array(F.lit(-1))))
+        )
+        # child = bump res to r+1, replace that digit's 0b111 fill with d
+        bumped = (
+            F.col(cell_col)
+            .bitwiseAND(F.lit(~K.RES_MASK))
+            .bitwiseOR(F.lit((r + 1) << K.RES_OFFSET))
+        )
+        child = bumped - (F.lit(7).cast("long") - F.col("__d")) * F.lit(
+            1 << child_shift
+        )
+        out = out.withColumn(
+            cell_col, F.when(F.col("__d") >= 0, child).otherwise(F.col(cell_col))
+        ).drop("__d")
+    return out.filter(cx.res(cell_col) == res)

@@ -1,0 +1,284 @@
+"""Build/compaction + containment-join parity vs the reference fixtures.
+
+Mirrors the reference integration tests:
+* US915 set membership & len    — /root/reference/tests/tests.rs:34-57
+* subtree/descendants           — /root/reference/tests/tests.rs:59-97
+* compaction invariants         — /root/reference/tests/tests.rs:133-160
+* naive-oracle comparison       — /root/reference/tests/tests.rs:6-23
+* Monaco promoted-parent gets   — /root/reference/src/disktree/mod.rs:65-68
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import build as bx
+from hexspark import cells as cx
+from hexspark import cells_np as cnp
+from hexspark import constants as K
+from hexspark import join as jx
+from hexspark.fixtures import ensure_fixtures
+
+NE_RES1 = 0x812A3FFFFFFFFFF  # northeast US res-1 cell from tests.rs:75
+
+
+@pytest.fixture(scope="module")
+def fixture_paths():
+    return ensure_fixtures()
+
+
+@pytest.fixture(scope="module")
+def us915(spark, fixture_paths):
+    return spark.read.parquet(fixture_paths["us915_compact"]).cache()
+
+
+@pytest.fixture(scope="module")
+def monaco(spark, fixture_paths):
+    return spark.read.parquet(fixture_paths["monaco_res12"]).cache()
+
+
+def naive_contains(region_cells: np.ndarray, target: int) -> bool:
+    """Linear-scan oracle, port of tests.rs:6-23 semantics."""
+    t = np.int64(target)
+    tres = int(cnp.res(np.array([t]))[0])
+    for c in region_cells:
+        cres = int(cnp.res(np.array([c]))[0])
+        if cres <= tres:
+            if cnp.to_parent(np.array([t]), cres)[0] == c:
+                return True
+    return False
+
+
+def descendant_probe(cell: int, res: int) -> int:
+    """A res-``res`` descendant of ``cell`` via digit-0 path (bit math)."""
+    c = np.int64(cell)
+    cur = int(cnp.res(np.array([c]))[0])
+    assert res >= cur
+    out = (c & ~np.int64(K.RES_MASK)) | np.int64(res << K.RES_OFFSET)
+    # clear the 0b111 fills between cur and res → digit 0
+    for r in range(cur + 1, res + 1):
+        out &= ~(np.int64(7) << ((K.MAX_RES - r) * K.DIGIT_BITS))
+    return int(out)
+
+
+# ---------------------------------------------------------------------------
+# US915
+# ---------------------------------------------------------------------------
+
+def test_us915_len_precompacted(spark, us915):
+    # pre-compacted input: build is a fixpoint (tests.rs:36-37 & 140)
+    built = bx.build_region(us915, compactor="set")
+    assert built.count() == 42383 == us915.count()
+
+
+def test_us915_every_cell_gets_itself(spark, us915):
+    # tests.rs:55-57: get(cell).0 == cell for every stored cell
+    built = bx.build_region(us915, compactor="set").cache()
+    got = jx.get_indexed(
+        us915.select(F.col("cell").alias("probe")), built, probe_col="probe"
+    )
+    n_match = got.filter(F.col("stored_cell") == F.col("probe")).count()
+    assert n_match == 42383
+    # same via the explode form
+    got2 = jx.get_explode(
+        us915.select(F.col("cell").alias("probe")), built, probe_col="probe"
+    )
+    assert got2.filter(F.col("stored_cell") == F.col("probe")).count() == 42383
+
+
+def test_us915_probe_semantics(spark, us915):
+    cells = np.array([r[0] for r in us915.collect()], dtype=np.int64)
+    built = bx.build_region(us915, compactor="set").cache()
+
+    some = cells[[0, 100, 5000, 42000]]
+    probes = []
+    expected = []
+    for c in some:
+        r = int(cnp.res(np.array([c]))[0])
+        # res-12 descendant: contained (ancestor-hit, rule 1)
+        d = descendant_probe(int(c), 12) if r <= 12 else int(c)
+        probes.append(d)
+        expected.append(True)
+        # strict ancestor: NOT contained (coarse-probe miss, rule 2)
+        if r > 0:
+            a = int(cnp.to_parent(np.array([c]), r - 1)[0])
+            probes.append(a)
+            expected.append(naive_contains(cells, a))
+    # a base cell not present in US915 at all
+    bases = set(cnp.base_cell(cells).tolist())
+    missing_base = next(b for b in range(122) if b not in bases)
+    foreign = int(cnp.make_cell(np.array([missing_base]), np.array([12]),
+                                np.array([K.trailing_mask(12)]))[0])
+    probes.append(foreign)
+    expected.append(False)
+
+    # cross-check every probe against the naive oracle
+    for p, e in zip(probes, expected):
+        assert naive_contains(cells, p) == e, hex(p)
+
+    pdf = spark.createDataFrame([(int(p),) for p in probes], "probe: long")
+    for form in (jx.contains_indexed, jx.contains_explode):
+        got = (
+            form(pdf, built, probe_col="probe")
+            .orderBy("probe")
+            .collect()
+        )
+        by_probe = {row["probe"]: row["contained"] for row in got}
+        for p, e in zip(probes, expected):
+            assert by_probe[p] == e, f"{form.__name__} {hex(p)}"
+
+
+def test_us915_northeast_subtree(spark, us915):
+    # tests.rs:74-97: descendants(northeast_res1) == related raw cells res>1
+    cells = np.array([r[0] for r in us915.collect()], dtype=np.int64)
+    ne = np.int64(NE_RES1)
+    related = cells[
+        (cnp.res(cells) > 1)
+        & (cnp.to_parent(cells, 1) == cnp.to_parent(np.full_like(cells, ne), 1))
+    ]
+    # engine: range-overlap filter, ordered by lo
+    built = bx.build_region(us915, compactor="set")
+    got = jx.descendants(built, NE_RES1).collect()
+    got_cells = np.array([r["cell"] for r in got], dtype=np.int64)
+    assert sorted(got_cells.tolist()) == sorted(related.tolist())
+    assert len(got_cells) > 0
+    # every result promotes back to the ancestor
+    assert (cnp.to_parent(got_cells, 1) == cnp.to_parent(np.full_like(got_cells, ne), 1)).all()
+    # emission order == ascending lo (DFS parity)
+    los = cnp.lo(got_cells)
+    assert (np.diff(los) > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Monaco: compaction + promoted gets + idempotence
+# ---------------------------------------------------------------------------
+
+def test_monaco_compaction_and_promoted_get(spark, monaco):
+    # the fixture ships pre-compacted: 825 leaves at res 9..12
+    n_raw = monaco.count()
+    assert n_raw == 825
+    built = bx.build_region(monaco, compactor="set").cache()
+    assert built.count() == n_raw  # fixpoint on compacted input
+
+    # probe with res-12 DESCENDANTS of every leaf: all contained; stored
+    # cell is the original leaf, promoted where leaf res < 12
+    # (disktree/mod.rs:65-68 semantics)
+    cells = np.array([r["cell"] for r in monaco.collect()], dtype=np.int64)
+    probes = spark.createDataFrame(
+        [(descendant_probe(int(c), 12), int(c)) for c in cells],
+        "probe: long, leaf: long",
+    )
+    got = jx.get_indexed(probes, built, probe_col="probe").cache()
+    assert got.count() == n_raw
+    assert got.filter(F.col("stored_cell") != F.col("leaf")).count() == 0
+    promoted = got.filter(cx.res("stored_cell") < 12).count()
+    assert promoted == int((cnp.res(cells) < 12).sum()) > 0
+    got.unpersist()
+
+    # compact → uncompact(res 12) → compact idempotence (BASELINE
+    # invariant): 825 leaves expand to 7581 res-12 cells and must
+    # compact back to exactly the same 825 leaves.
+    uncompacted = bx.uncompact_df(built, 12).cache()
+    expected_exp = int(sum(7 ** (12 - r) for r in cnp.res(cells)))
+    assert uncompacted.count() == expected_exp
+    rebuilt = bx.build_region(uncompacted, compactor="set")
+    assert (
+        rebuilt.select("cell").exceptAll(built.select("cell")).count() == 0
+        and built.select("cell").exceptAll(rebuilt.select("cell")).count() == 0
+    )
+    uncompacted.unpersist()
+
+
+def test_monaco_map_values_null_compactor(spark, monaco):
+    # NullCompactor map: every inserted cell keeps its own value
+    vals = monaco.withColumn("value", F.monotonically_increasing_id())
+    built = bx.build_region(vals, value_col="value", compactor="none").cache()
+    assert built.count() == 825
+    got = jx.get_indexed(
+        vals.select(F.col("cell").alias("probe"), F.col("value").alias("expected")),
+        built,
+        probe_col="probe",
+    )
+    assert got.filter(
+        (F.col("stored_cell") == F.col("probe")) & (F.col("value") == F.col("expected"))
+    ).count() == 825
+
+
+# ---------------------------------------------------------------------------
+# synthetic compaction unit semantics
+# ---------------------------------------------------------------------------
+
+def _children_of(parent: int) -> list[int]:
+    p = np.int64(parent)
+    r = int(cnp.res(np.array([p]))[0]) + 1
+    shift = (K.MAX_RES - r) * K.DIGIT_BITS
+    bumped = (p & ~np.int64(K.RES_MASK)) | np.int64(r << K.RES_OFFSET)
+    return [int(bumped - ((7 - d) << shift)) for d in range(7)]
+
+
+def test_set_compactor_all7_rule(spark):
+    parent = int(cnp.make_cell(np.array([33]), np.array([4]),
+                               np.array([K.trailing_mask(4)]))[0])
+    kids = _children_of(parent)
+    # all 7 → compacts to parent (and cascades no further)
+    df = spark.createDataFrame([(c,) for c in kids], "cell: long")
+    out = bx.build_region(df, compactor="set").collect()
+    assert [r["cell"] for r in out] == [parent]
+    # only 6 → stays (the reference all-7 rule, NOT h3 compactCells)
+    df6 = spark.createDataFrame([(c,) for c in kids[:6]], "cell: long")
+    out6 = bx.build_region(df6, compactor="set").count()
+    assert out6 == 6
+
+
+def test_set_compactor_cascades(spark):
+    gp = int(cnp.make_cell(np.array([7]), np.array([2]),
+                           np.array([K.trailing_mask(2)]))[0])
+    grandkids = [g for p in _children_of(gp) for g in _children_of(p)]
+    df = spark.createDataFrame([(c,) for c in grandkids], "cell: long")
+    out = bx.build_region(df, compactor="set").collect()
+    assert [r["cell"] for r in out] == [gp]
+
+
+def test_eq_compactor(spark):
+    parent = int(cnp.make_cell(np.array([50]), np.array([6]),
+                               np.array([K.trailing_mask(6)]))[0])
+    kids = _children_of(parent)
+    same = spark.createDataFrame([(c, "A") for c in kids], "cell: long, v: string")
+    out = bx.build_region(same, value_col="v", compactor="eq").collect()
+    assert len(out) == 1 and out[0]["cell"] == parent and out[0]["v"] == "A"
+    mixed = spark.createDataFrame(
+        [(c, "A" if i < 6 else "B") for i, c in enumerate(kids)],
+        "cell: long, v: string",
+    )
+    out2 = bx.build_region(mixed, value_col="v", compactor="eq").count()
+    assert out2 == 7
+
+
+def test_insert_into_covered_subtree_is_noop(spark):
+    # rule 3: coarsest-cell-wins batch policy
+    parent = int(cnp.make_cell(np.array([12]), np.array([3]),
+                               np.array([K.trailing_mask(3)]))[0])
+    kid = _children_of(parent)[2]
+    df = spark.createDataFrame([(parent, "P"), (kid, "K")], "cell: long, v: string")
+    out = bx.build_region(df, value_col="v", compactor="none").collect()
+    assert len(out) == 1 and out[0]["cell"] == parent and out[0]["v"] == "P"
+
+
+def test_quarantine_invalid(spark):
+    df = spark.createDataFrame([(-5,), (0,), (0x85283473FFFFFFF,)], "cell: long")
+    valid, bad = bx.validate_cells(df)
+    assert valid.count() == 1 and bad.count() == 2
+
+
+def test_subtree_agg(spark, monaco):
+    # subtree-sum invariant (structure of iteration.rs:378-399): the sum
+    # under an ancestor equals the sum of sums under a partition of it
+    vals = monaco.withColumn("value", (F.col("cell") % 1000).cast("long")).cache()
+    built = bx.build_region(vals, value_col="value", compactor="none")
+    total_row = vals.agg(F.sum("value")).collect()[0][0]
+    # ancestor = res-0 parent of first cell — Monaco fits in few bases
+    cells = np.array([r["cell"] for r in monaco.collect()], dtype=np.int64)
+    parents9 = np.unique(cnp.to_parent(cells, 9))
+    probes = spark.createDataFrame([(int(p),) for p in parents9], "probe: long")
+    sums = jx.subtree_agg(built, probes, [F.sum("value").alias("s")], probe_col="probe")
+    assert sums.agg(F.sum("s")).collect()[0][0] == total_row
