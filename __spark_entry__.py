@@ -1,38 +1,207 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an engine operator from SURVEY.md §2 run
+over the driver's parquet tables; ``oracle_sql()`` returns the DuckDB
+twin generated from the same formulas (hexspark.oracles).  Column
+names/aliases match pairwise so the driver's order-insensitive value
+hash compares like-for-like.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hexspark import build as bx
+from hexspark import cells as cx
+from hexspark import join as jx
+from hexspark import ops, oracles, synth
+from hexspark.geo import knn_join, pip_column
+from hexspark.pages import synth_pages
+
+COPIES = 2
+PAGE_RES = 12
+TILE_RES = 2
+ROLLUP_TILE_RES = 6
+KNN_K = 3
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_cell_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = synth.cell_from_key(F.col("o_orderkey"), 9)
+    return _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        c.alias("cell"),
+        cx.res(c).alias("res"),
+        cx.base_cell(c).alias("base"),
+        cx.to_parent(c, 4).alias("parent4"),
+        cx.lo(c).alias("lo"),
+        cx.hi(c).alias("hi"),
+    )
+
+
+def _partkey_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lineitem(spark, sf_dir).select(
+        synth.cell_from_key(F.col("l_partkey"), 6).alias("cell")
+    )
+
+
+def q_build_compact_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bx.build_region(_partkey_set(spark, sf_dir), compactor="set")
+
+
+def q_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = bx.build_region(_partkey_set(spark, sf_dir), compactor="set")
+    probes = _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        synth.cell_from_key(F.col("o_orderkey"), 12).alias("cell"),
+    )
+    return jx.contains_indexed(probes, region).select("key", "contained")
+
+
+def q_get_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = bx.build_region(
+        _lineitem(spark, sf_dir).select(
+            synth.cell_from_key(F.col("l_partkey"), 6).alias("cell"),
+            F.col("l_suppkey").alias("supp"),
+        ),
+        value_col="supp",
+        compactor="none",
+        dedupe_policy="min",
+    )
+    probes = _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        synth.cell_from_key(F.col("o_orderkey"), 12).alias("cell"),
+    )
+    return jx.get_indexed(probes, region).select("key", "stored_cell", "supp")
+
+
+def q_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    regions = ops.region_map(spark)
+    return ops.region_counts(pages, regions)
+
+
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    return ops.tile_stats(pages, TILE_RES)
+
+
+def q_tile_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    regions = ops.region_map(spark)
+    return ops.tile_region_rollup(pages, regions, ROLLUP_TILE_RES).select(
+        "region", "n_tiles", F.col("n_pages").cast("long").alias("n_pages")
+    )
+
+
+def q_subtree_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = bx.build_region(
+        _lineitem(spark, sf_dir).select(
+            synth.cell_from_key(F.col("l_partkey"), 8).alias("cell"),
+            F.col("l_linenumber").alias("qty"),
+        ),
+        value_col="qty",
+        compactor="none",
+        dedupe_policy="sum",
+    )
+    probes = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            cx.to_parent(synth.cell_from_key(F.col("s_suppkey"), 8), 2).alias("probe")
+        )
+        .distinct()
+    )
+    return jx.subtree_agg(
+        region,
+        probes,
+        [
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.count("*").alias("n_leaves"),
+        ],
+        probe_col="probe",
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(
+        spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False
+    ).select("page_key", "lat", "lon")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    alat, alon = synth.latlon_from_key(F.col("n_nationkey") * 7919 + 13)
+    anchors = nation.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey").alias("anchor_id"), alat.alias("alat"), alon.alias("alon")
+    )
+    out = knn_join(pages, anchors, KNN_K, metric="sq")
+    return out.select(
+        "anchor_id", F.col("rank").cast("long").alias("rank"), "page_key"
+    )
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    inside = pip_column(F.col("lat"), F.col("lon"), ops.REGIONS["alpha"])
+    return pages.filter(inside).groupBy("lang").agg(F.count("*").alias("n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages geotagged → cell-encoded → region-assigned → counts."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = synth_pages(spark, sf_dir, copies=4, res=PAGE_RES, with_html=True)
+    regions = ops.region_map(spark)
+    return ops.region_counts(pages, regions)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cell_ops": q_cell_ops,
+        "build_compact_set": q_build_compact_set,
+        "contains": q_contains,
+        "get_value": q_get_value,
+        "region_counts": q_region_counts,
+        "tile_stats": q_tile_stats,
+        "tile_region_rollup": q_tile_region_rollup,
+        "subtree_sum": q_subtree_sum,
+        "knn": q_knn,
+        "point_in_polygon": q_point_in_polygon,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cell_ops": oracles.q_cell_ops(),
+        "build_compact_set": oracles.q_build_compact_set(),
+        "contains": oracles.q_contains(),
+        "get_value": oracles.q_get_value(),
+        "region_counts": oracles.q_region_counts(
+            ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES
+        ),
+        "tile_stats": oracles.q_tile_stats(COPIES, PAGE_RES, TILE_RES),
+        "tile_region_rollup": oracles.q_tile_region_rollup(
+            ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES, ROLLUP_TILE_RES
+        ),
+        "subtree_sum": oracles.q_subtree_sum(),
+        "knn": oracles.q_knn(KNN_K, COPIES),
+        "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES),
+    }

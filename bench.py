@@ -1,0 +1,142 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is spatial-join throughput (pages/sec geotagged →
+region-assigned); ``value`` is total wall time of the query suite.
+Pages are amplified deterministically from the documents table
+(``BENCH_COPIES``) so sf0.1 exercises ~2M pages.  Run
+``python bench_scaling.py`` for the N-vs-4N cores scaling evidence
+(BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hexspark import ops  # noqa: E402
+from hexspark import build as bx  # noqa: E402
+from hexspark import cells as cx  # noqa: E402
+from hexspark import join as jx  # noqa: E402
+from hexspark import synth  # noqa: E402
+from hexspark.dedup import dedup_exact  # noqa: E402
+from hexspark.embed import ann_topk_brute  # noqa: E402
+from hexspark.pages import synth_pages  # noqa: E402
+from hexspark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+COPIES = int(os.environ.get("BENCH_COPIES", "400"))  # 5000 docs * 400 = 2M pages
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run(spark) -> tuple[dict, dict]:
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    pages = synth_pages(spark, SF_DIR, copies=COPIES, res=12, with_html=False)
+    pages = pages.repartition(int(CPUS) * 2).persist()
+    n_pages = timed("materialize_pages", lambda: pages.count())
+    extras["n_pages"] = n_pages
+
+    regions = ops.region_map(spark).persist()
+    timed("build_region_map", lambda: regions.count())
+
+    # q1: flagship spatial join — pages/sec headline
+    t0 = time.perf_counter()
+    counts = ops.region_counts(pages, regions).collect()
+    q1 = time.perf_counter() - t0
+    timings["q1_region_assign"] = round(q1, 3)
+    extras["pages_per_sec"] = round(n_pages / q1, 1)
+    extras["region_counts"] = {r["region"]: r["n_pages"] for r in counts}
+
+    # q2: explode-join form (declarative path, for comparison)
+    timed(
+        "q2_region_assign_explode",
+        lambda: ops.region_counts(pages, regions, form="explode").collect(),
+    )
+
+    # q3: tile rollup at res 6
+    timed("q3_tile_rollup", lambda: ops.tile_region_rollup(pages, regions, 6).collect())
+
+    # q4: build+compact a large synthetic set from lineitem keys
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cells = li.select(synth.cell_from_key(F.col("l_partkey"), 8).alias("cell"))
+    timed("q4_build_compact", lambda: bx.build_region(cells, compactor="set").count())
+
+    # q5: subtree aggregation over the compacted set
+    region8 = bx.build_region(
+        li.select(
+            synth.cell_from_key(F.col("l_partkey"), 8).alias("cell"),
+            F.col("l_linenumber").alias("qty"),
+        ),
+        value_col="qty", compactor="none", dedupe_policy="sum",
+    )
+    probes = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .select(
+            cx.to_parent(synth.cell_from_key(F.col("s_suppkey"), 8), 2).alias("probe")
+        ).distinct()
+    )
+    timed(
+        "q5_subtree_sum",
+        lambda: jx.subtree_agg(region8, probes, [F.sum("qty").alias("s")], probe_col="probe").collect(),
+    )
+
+    # q6: exact dedup over documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("q6_dedup_exact", lambda: dedup_exact(docs).count())
+
+    # q7: ANN brute top-k over embeddings
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    timed("q7_ann_topk", lambda: ann_topk_brute(emb, q, 10).count())
+
+    pages.unpersist()
+    regions.unpersist()
+    return timings, extras
+
+
+def main() -> None:
+    spark = get_spark("hexspark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(int(CPUS), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        timings, extras = run(spark)
+    finally:
+        spark.stop()
+    total = round(sum(v for k, v in timings.items() if k.startswith("q")), 3)
+    print(json.dumps({
+        "metric": "spatial-join suite wall time (headline: q1 pages/sec region-assign)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

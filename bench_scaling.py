@@ -1,0 +1,109 @@
+"""Scaling-efficiency evidence: identical job at N and 4N cores.
+
+The north_rule's two-cluster-size criterion (≥0.8 throughput scaling
+efficiency from N to 4N executors) cannot use a real cluster in this
+sandbox; per BASELINE.md we evidence it by running the SAME flagship
+spatial join at ``local[8]`` and ``local[32]`` on the SAME input and
+reporting both throughputs + efficiency = (T_4N / T_N) / 4.
+
+Each measurement runs in a fresh subprocess (fresh JVM) so no cache or
+JIT state leaks between cluster sizes.  Results are written to
+BENCH/BASELINE.md and printed as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("BENCH_COPIES", "400"))
+N_SMALL = int(os.environ.get("BENCH_N", "8"))
+N_BIG = int(os.environ.get("BENCH_4N", "32"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from hexspark import ops
+from hexspark.pages import synth_pages
+from hexspark.session import get_spark
+
+cores = int(sys.argv[1])
+spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores, 8))
+spark.sparkContext.setLogLevel("ERROR")
+pages = synth_pages(spark, {sf_dir!r}, copies={copies}, res=12, with_html=False)
+pages = pages.repartition(cores * 2).persist()
+n = pages.count()
+regions = ops.region_map(spark).persist()
+regions.count()
+best = None
+for _ in range({rounds}):
+    t0 = time.perf_counter()
+    ops.region_counts(pages, regions).collect()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cores": cores, "n_pages": n, "sec": best,
+                   "pages_per_sec": n / best}}))
+spark.stop()
+"""
+
+
+def measure(cores: int) -> dict:
+    script = WORKER.format(repo=REPO, sf_dir=SF_DIR, copies=COPIES, rounds=ROUNDS)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-4000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    small = measure(N_SMALL)
+    big = measure(N_BIG)
+    ratio = big["pages_per_sec"] / small["pages_per_sec"]
+    eff = ratio / (N_BIG / N_SMALL)
+    result = {
+        "sf_dir": SF_DIR,
+        "copies": COPIES,
+        "n_pages": big["n_pages"],
+        f"local[{N_SMALL}]": {"sec": round(small["sec"], 3),
+                              "pages_per_sec": round(small["pages_per_sec"], 1)},
+        f"local[{N_BIG}]": {"sec": round(big["sec"], 3),
+                            "pages_per_sec": round(big["pages_per_sec"], 1)},
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(result))
+    md = f"""# BENCH/BASELINE — scaling evidence
+
+Flagship spatial join (pages geotag → res-12 cell encode → broadcast
+nearest-ancestor containment join vs compacted region map → per-region
+counts), identical input at two parallelism levels, fresh JVM each.
+
+| config | wall sec (best of {ROUNDS}) | pages/sec |
+|---|---|---|
+| local[{N_SMALL}] (N) | {small['sec']:.3f} | {small['pages_per_sec']:.1f} |
+| local[{N_BIG}] (4N) | {big['sec']:.3f} | {big['pages_per_sec']:.1f} |
+
+* input: {big['n_pages']:,} pages from {SF_DIR} (documents × {COPIES} copies)
+* speedup N→4N: **{ratio:.2f}×**
+* scaling efficiency (speedup / 4): **{eff:.3f}** (target ≥ 0.8)
+
+Run: ``python bench_scaling.py`` (env: SPARK_GRAFT_SF_DIR, BENCH_COPIES).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

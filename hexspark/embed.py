@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the exact baseline: native ``zip_with`` /
+  ``aggregate`` dot products (JVM-side, no UDF), broadcast query set,
+  window top-k.  DuckDB oracle via ``list_dot_product``.
+* LSH-bucketed variant — the scale path: random-hyperplane signatures
+  bucket the corpus; candidates share a bucket; exact re-rank inside.
+
+Ranking determinism across engines: similarities are rounded to 6
+decimals before ranking with id tie-break, so IEEE summation-order
+differences (Spark's fold vs DuckDB's) cannot flip ranks except for
+true near-ties, which the round+tiebreak resolves identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, window top-k.
+
+    The corpus never shuffles except the per-query top-k partial; with
+    Q queries the cross join is a broadcast nested loop whose cost is
+    Q × N vectorized multiplies — the honest baseline to beat."""
+    crossed = corpus.crossJoin(F.broadcast(queries))
+    sim = F.round(
+        cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("sim").desc(), F.col(key_col).asc()
+    )
+    return (
+        crossed.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, F.col("rank").cast("long").alias("rank"),
+                F.col(key_col), "sim")
+    )
+
+
+def dd_ann_topk_brute(k: int, n_queries: int) -> str:
+    """DuckDB oracle: queries = the first ``n_queries`` corpus vectors."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id,
+                   e.vec_id,
+                   ROUND(
+                     list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))),
+                     6
+                   ) AS sim
+            FROM embeddings e, q
+        )
+        SELECT query_id, rank, vec_id, sim FROM (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of ``n_planes`` fixed random
+    projections, packed into a BIGINT bucket id.  The planes are
+    deterministic (seeded) literals baked into the plan — broadcast-free."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        d = dot(F.col(vec_col).cast("array<double>"), plane)
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return df.withColumn("bucket", sig)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    query_key: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Bucketed ANN: equi-join on the hyperplane bucket replaces the
+    cross join (candidates drop ~2^n_planes-fold), then exact re-rank.
+    Recall < 1 by design; tests measure it against the brute baseline."""
+    c = hyperplane_signatures(corpus, dim, n_planes, vec_col=vec_col)
+    q = hyperplane_signatures(queries, dim, n_planes, vec_col=query_vec)
+    cand = c.join(F.broadcast(q), on="bucket", how="inner")
+    sim = F.round(
+        cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
+    )
+    w = Window.partitionBy(query_key).orderBy(F.col("sim").desc(), F.col(key_col).asc())
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, F.col("rank").cast("long").alias("rank"), F.col(key_col), "sim")
+    )

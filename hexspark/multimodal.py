@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The actual codecs are NOT available in this
+container, so the decode kernel is STUBBED behind ``HAS_CODECS`` with a
+deterministic fake — the Spark-side plumbing (schema, batch shape,
+partitioning, UDF signature) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType,
+)
+
+HAS_CODECS = False  # real image/audio libs not bundled; see _decode_stub
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),       # image | audio | video
+    StructField("payload", BinaryType(), False),     # opaque encoded bytes
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", IntegerType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("feature", ArrayType(FloatType()), False),
+    StructField("n_bytes", IntegerType(), False),
+])
+
+
+def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media: payload = the doc text bytes tagged
+    with a header; metadata derived from doc stats."""
+    return docs.select(
+        F.concat(F.lit(f"{kind}-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.concat(F.lit("FAKE0"), F.col("text")), "UTF-8").alias("payload"),
+        (F.col("n_chars") % 1024 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 768 + 16).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake decoder: sha256-seeded feature vector.
+
+    Replace with a real codec (PIL/torchaudio/pyav) where available —
+    the calling plumbing is identical."""
+    if HAS_CODECS:  # pragma: no cover
+        raise NotImplementedError("wire a real codec here")
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched decode→featurize: ``mapInPandas`` so each Python
+    worker sees whole record batches; payload bytes never pass through
+    per-row Python call overhead."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": feats,
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+            })
+
+    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    timestamp (payload decode stubbed; timestamps computed natively)."""
+    with_dur = media.filter(F.col("duration_ms").isNotNull())
+    ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+    return with_dur.select(
+        "media_id", F.explode(ts).alias("frame_ms"), "payload"
+    )

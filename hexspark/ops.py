@@ -1,0 +1,97 @@
+"""Flagship spatial pipeline: geotag → encode → region-assign → rollups.
+
+This is the end-to-end operator set the north_star describes: pages in
+a Common-Crawl-style table are geotagged, batch-encoded to cells, and
+joined against broadcast compacted region tables for point-in-polygon
+membership, tile rollups, and raster↔vector assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import build as bx
+from . import cells as cx
+from . import join as jx
+from .geo import polyfill
+
+# Three disjoint synthetic vector regions (lat, lon vertices).  Chosen
+# for the deterministic test/bench pipeline; production regions come
+# from any polygon source (geojson etc.).
+REGIONS: dict[str, list[tuple[float, float]]] = {
+    "alpha": [(25.0, -100.0), (40.0, -95.0), (38.0, -80.0), (28.0, -78.0), (22.0, -90.0)],
+    "beta": [(42.0, 0.0), (55.0, 5.0), (57.0, 20.0), (45.0, 25.0), (40.0, 12.0)],
+    "gamma": [(-35.0, 120.0), (-18.0, 125.0), (-15.0, 140.0), (-30.0, 150.0), (-38.0, 135.0)],
+}
+REGION_RES = 4
+
+
+def region_map(spark: SparkSession, res: int = REGION_RES, compact: bool = True) -> DataFrame:
+    """Vector→raster: polyfill each polygon, tag with its name, build
+    the compacted broadcast region map (EqCompactor — contiguous same-
+    value areas coalesce, /root/reference/src/compaction.rs:63-72)."""
+    parts = [
+        polyfill(spark, poly, res).withColumn("region", F.lit(name))
+        for name, poly in REGIONS.items()
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    if compact:
+        return bx.build_region(df, value_col="region", compactor="eq")
+    return df
+
+
+def assign_regions(
+    pages: DataFrame,
+    regions: DataFrame,
+    how: str = "inner",
+    form: str = "indexed",
+) -> DataFrame:
+    """Attach (stored_cell, region) to each page by nearest-ancestor
+    containment — the flagship spatial join.  ``form`` picks the
+    production searchsorted path or the declarative explode path."""
+    fn = jx.get_indexed if form == "indexed" else jx.get_explode
+    return fn(pages, regions, probe_col="cell", region_col="cell", how=how)
+
+
+def region_counts(
+    pages: DataFrame, regions: DataFrame, form: str = "indexed"
+) -> DataFrame:
+    """Pages per region — the headline throughput query."""
+    assigned = assign_regions(pages, regions, how="inner", form=form)
+    return assigned.groupBy("region").agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+def tile_stats(pages: DataFrame, tile_res: int) -> DataFrame:
+    """Raster rollup: per-tile page counts at ``tile_res``.
+
+    One map-side-combinable groupBy on a derived column — the analogue
+    of A6 per-region tile stats."""
+    return pages.groupBy(
+        cx.to_parent("cell", tile_res).alias("tile")
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+def tile_region_rollup(
+    pages: DataFrame, regions: DataFrame, tile_res: int
+) -> DataFrame:
+    """Raster↔vector assignment: aggregate pages to raster tiles, then
+    assign each tile to its covering vector region (containment join on
+    the *tile* cell).  Tiles straddling no region drop out (inner)."""
+    tiles = tile_stats(pages, tile_res)
+    return (
+        jx.get_indexed(tiles, regions, probe_col="tile")
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_pages").alias("n_pages"),
+        )
+    )

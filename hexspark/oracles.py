@@ -1,0 +1,232 @@
+"""DuckDB oracle-SQL builders.
+
+Each function returns an ANSI-SQL string (DuckDB dialect) equivalent to
+one engine query, runnable on the driver's pre-registered parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings).  The SQL is *generated from the same constants/formulas*
+as the Spark side (hexspark.synth / hexspark.geo), so the two cannot
+drift — this is the engine's analogue of the reference's
+``naive_contains`` linear-scan oracle (/root/reference/tests/tests.rs:6-23).
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import constants as K
+from . import synth
+from .geo import GRID_DIM, dd_grid_encode, pip_sql_predicate
+from .pages import dd_pages_cte
+
+
+def dd_compact_set_cte(src_cte: str, max_res: int) -> str:
+    """Unrolled bottom-up set compaction: one CTE pair per level from
+    ``max_res`` down to 1 (the A2 loop as pure SQL).  ``src_cte`` must
+    select a single BIGINT column ``cell`` of pairwise non-related,
+    deduplicated cells."""
+    ctes = [f"lvl{max_res} AS ({src_cte})"]
+    for r in range(max_res, 0, -1):
+        parent = synth.dd_to_parent("cell", r - 1)
+        res = synth.dd_res("cell")
+        ctes.append(
+            f"""step{r} AS (
+                SELECT parent AS cell FROM (
+                    SELECT {parent} AS parent, COUNT(*) AS c
+                    FROM lvl{r} WHERE {res} = {r} GROUP BY 1
+                ) WHERE c = 7
+            )"""
+        )
+        ctes.append(
+            f"""lvl{r - 1} AS (
+                SELECT cell FROM lvl{r}
+                WHERE {res} <> {r}
+                   OR {parent} NOT IN (SELECT cell FROM step{r})
+                UNION ALL
+                SELECT cell FROM step{r}
+            )"""
+        )
+    return ",\n".join(ctes)
+
+
+def dd_polyfill_cte(polygon, res: int, name: str) -> str:
+    """SQL twin of hexspark.geo.polyfill for one polygon."""
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
+    py = 180.0 / (GRID_DIM * 7 ** (res // 2))
+    lat0 = math.floor((min(lats) + 90.0) / py) * py - 90.0
+    lon0 = math.floor((min(lons) + 180.0) / px) * px - 180.0
+    ny = int(math.ceil((max(lats) - lat0) / py)) + 1
+    nx = int(math.ceil((max(lons) - lon0) / px)) + 1
+    lat = f"({lat0!r} + ((FLOOR(i / {nx}) + 0.5) * {py!r}))"
+    lon = f"({lon0!r} + (((i % {nx}) + 0.5) * {px!r}))"
+    pip = pip_sql_predicate(lat, lon, polygon)
+    cell = dd_grid_encode(lat, lon, res)
+    return (
+        f"SELECT DISTINCT {cell} AS cell, '{name}' AS region "
+        f"FROM (SELECT UNNEST(RANGE({ny * nx})) AS i) WHERE {pip}"
+    )
+
+
+def dd_region_cells_cte(regions: dict, res: int) -> str:
+    return " UNION ALL ".join(
+        dd_polyfill_cte(poly, res, name) for name, poly in regions.items()
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-query oracles
+# ---------------------------------------------------------------------------
+
+def q_cell_ops() -> str:
+    cell = synth.dd_cell_from_key("o_orderkey", 9)
+    return f"""
+        SELECT
+            o_orderkey AS key,
+            {cell} AS cell,
+            {synth.dd_res(cell)} AS res,
+            {synth.dd_base(cell)} AS base,
+            {synth.dd_to_parent(cell, 4)} AS parent4,
+            {synth.dd_lo(cell)} AS lo,
+            {synth.dd_hi(cell)} AS hi
+        FROM orders
+    """
+
+
+def q_build_compact_set() -> str:
+    src = f"SELECT DISTINCT {synth.dd_cell_from_key('l_partkey', 6)} AS cell FROM lineitem"
+    ctes = dd_compact_set_cte(src, 6)
+    return f"WITH {ctes} SELECT cell FROM lvl0"
+
+
+def q_contains() -> str:
+    src = f"SELECT DISTINCT {synth.dd_cell_from_key('l_partkey', 6)} AS cell FROM lineitem"
+    ctes = dd_compact_set_cte(src, 6)
+    probe = synth.dd_cell_from_key("o_orderkey", 12)
+    # containment unaffected by compaction; probe the UNcompacted set via
+    # ancestor equality at the single build res (coverage identical)
+    return f"""
+        WITH {ctes},
+        probes AS (SELECT o_orderkey AS key, {probe} AS cell FROM orders)
+        SELECT p.key,
+               EXISTS (
+                 SELECT 1 FROM lvl0 r
+                 WHERE {synth.dd_lo('r.cell')} <= {synth.dd_lo('p.cell')}
+                   AND {synth.dd_hi('r.cell')} >= {synth.dd_hi('p.cell')}
+               ) AS contained
+        FROM probes p
+    """
+
+
+def q_get_value() -> str:
+    # NullCompactor map at res 6: dedupe (min value) only
+    reg = f"""
+        SELECT {synth.dd_cell_from_key('l_partkey', 6)} AS cell,
+               MIN(l_suppkey) AS supp
+        FROM lineitem GROUP BY 1
+    """
+    probe = synth.dd_cell_from_key("o_orderkey", 12)
+    return f"""
+        WITH region AS ({reg}),
+        probes AS (SELECT o_orderkey AS key, {probe} AS cell FROM orders)
+        SELECT p.key, r.cell AS stored_cell, r.supp AS supp
+        FROM probes p JOIN region r
+          ON r.cell = {synth.dd_to_parent('p.cell', 6)}
+    """
+
+
+def q_region_counts(regions: dict, region_res: int, copies: int, page_res: int) -> str:
+    rc = dd_region_cells_cte(regions, region_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        rcells AS ({rc})
+        SELECT r.region AS region,
+               COUNT(*) AS n_pages,
+               COUNT(DISTINCT p.lang) AS n_langs
+        FROM pages p
+        JOIN rcells r ON r.cell = {synth.dd_to_parent('p.cell', region_res)}
+        GROUP BY 1
+    """
+
+
+def q_tile_stats(copies: int, page_res: int, tile_res: int) -> str:
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)})
+        SELECT {synth.dd_to_parent('cell', tile_res)} AS tile,
+               COUNT(*) AS n_pages,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM pages GROUP BY 1
+    """
+
+
+def q_tile_region_rollup(regions: dict, region_res: int, copies: int, page_res: int, tile_res: int) -> str:
+    rc = dd_region_cells_cte(regions, region_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        rcells AS ({rc}),
+        tiles AS (
+            SELECT {synth.dd_to_parent('cell', tile_res)} AS tile,
+                   COUNT(*) AS n_pages
+            FROM pages GROUP BY 1
+        )
+        SELECT r.region AS region,
+               COUNT(*) AS n_tiles,
+               CAST(SUM(n_pages) AS BIGINT) AS n_pages
+        FROM tiles t
+        JOIN rcells r ON r.cell = {synth.dd_to_parent('t.tile', region_res)}
+        GROUP BY 1
+    """
+
+
+def q_subtree_sum() -> str:
+    reg = f"""
+        SELECT {synth.dd_cell_from_key('l_partkey', 8)} AS cell,
+               SUM(l_linenumber) AS qty
+        FROM lineitem GROUP BY 1
+    """
+    return f"""
+        WITH region AS ({reg}),
+        probes AS (
+            SELECT DISTINCT {synth.dd_to_parent(synth.dd_cell_from_key('s_suppkey', 8), 2)} AS probe
+            FROM supplier
+        )
+        SELECT p.probe, CAST(SUM(r.qty) AS BIGINT) AS total_qty, COUNT(*) AS n_leaves
+        FROM probes p JOIN region r
+          ON {synth.dd_lo('r.cell')} <= {synth.dd_hi('p.probe')}
+         AND {synth.dd_hi('r.cell')} >= {synth.dd_lo('p.probe')}
+        GROUP BY 1
+    """
+
+
+def q_knn(k: int, copies: int) -> str:
+    alat, alon = synth.dd_latlon_from_key("(n_nationkey * 7919 + 13)")
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, 12)}),
+        anchors AS (
+            SELECT n_nationkey AS anchor_id, {alat} AS alat, {alon} AS alon
+            FROM nation WHERE n_nationkey < 5
+        ),
+        ranked AS (
+            SELECT a.anchor_id, p.page_key,
+                   (p.lat - a.alat) * (p.lat - a.alat)
+                 + (p.lon - a.alon) * (p.lon - a.alon) AS dist,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.anchor_id
+                     ORDER BY (p.lat - a.alat) * (p.lat - a.alat)
+                            + (p.lon - a.alon) * (p.lon - a.alon) ASC,
+                            p.page_key ASC
+                   ) AS rank
+            FROM anchors a, pages p
+        )
+        SELECT anchor_id, rank, page_key FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_point_in_polygon(regions: dict, copies: int) -> str:
+    pip = pip_sql_predicate("lat", "lon", regions["alpha"])
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, 12)})
+        SELECT lang, COUNT(*) AS n_pages
+        FROM pages WHERE {pip}
+        GROUP BY 1
+    """

@@ -52,7 +52,7 @@ def latlon_from_key(key: Column) -> tuple[Column, Column]:
     DuckDB agree bit-for-bit (keys must stay < ~3.4e9 to avoid 64-bit
     overflow — true for every testdata key)."""
     h1 = (key * 2654435761) % 180000000
-    h2 = (key * 40503 + 12345) % 360000000
+    h2 = (key * 2246822519 + 12345) % 360000000
     lat = (h1 / F.lit(1000000.0)) - 90
     lon = (h2 / F.lit(1000000.0)) - 180
     return lat.alias("lat"), lon.alias("lon")
@@ -79,7 +79,7 @@ def dd_cell_from_key(key: str, res: int) -> str:
 
 def dd_latlon_from_key(key: str) -> tuple[str, str]:
     h1 = f"((({key}) * 2654435761) % 180000000)"
-    h2 = f"((({key}) * 40503 + 12345) % 360000000)"
+    h2 = f"((({key}) * 2246822519 + 12345) % 360000000)"
     lat = f"(({h1} / 1000000.0) - 90)"
     lon = f"(({h2} / 1000000.0) - 180)"
     return lat, lon

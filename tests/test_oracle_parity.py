@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
+over the same parquet, compare row count + column names + exact values
+(order-insensitive)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+QUERIES = sorted(entrymod.queries().keys())
+
+# queries where an empty result would be a silent bug, not a valid answer
+MUST_BE_NONEMPTY = set(QUERIES)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, name, ddb):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    got = q(spark, SF_DIR).toPandas()
+    assert sql is not None, f"{name} lacks an oracle"
+    if name in MUST_BE_NONEMPTY:
+        assert len(got) > 0, f"{name}: empty result — generator/region mismatch?"
+    want = ddb.execute(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    g, w = normalize(got), normalize(want)
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    except AssertionError as e:
+        raise AssertionError(f"{name}: value mismatch\n{e}") from e
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
