@@ -22,7 +22,11 @@ from hexspark import build as bx
 from hexspark import cells as cx
 from hexspark import join as jx
 from hexspark import ops, oracles, synth
+from hexspark import text as tx
+from hexspark import dedup as dd
+from hexspark.embed import ann_topk_brute, dd_ann_topk_brute
 from hexspark.geo import knn_join, pip_column
+from hexspark.multimodal import extract_features, synth_media
 from hexspark.pages import synth_pages
 
 COPIES = 2
@@ -161,6 +165,73 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.filter(inside).groupBy("lang").agg(F.count("*").alias("n_pages"))
 
 
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("toks"),
+        tx.word_count(F.col("text")).alias("words"),
+        tx.lang_id(F.col("text")).alias("lang_guess"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.dedup_exact(docs)
+
+
+JACCARD_PCT = 60
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.jaccard_pairs(docs, threshold_pct=JACCARD_PCT, n=3)
+
+
+ANN_K = 5
+ANN_QUERIES = 8
+
+
+def _ann_oracle() -> str:
+    return (
+        "SELECT query_id, rank, vec_id FROM ("
+        + dd_ann_topk_brute(ANN_K, ANN_QUERIES)
+        + ")"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_topk_brute(emb, q, ANN_K).select("query_id", "rank", "vec_id")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (md5-prefix hashes not portable to DuckDB SQL);
+    correctness covered by tests/test_text_dedup.py recall test."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dd.minhash_signature(docs, num_hashes=16, n=3)
+    return dd.lsh_candidates(sigs, bands=4, rows_per_band=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check; determinism covered by tests."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash(docs, bits=32)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: multimodal plumbing (binary payload → Arrow-
+    batched feature extraction with a deterministic stub codec)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synth_media(docs, kind="image")
+    return extract_features(media, dim=16).select("media_id", "kind", "n_bytes")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -185,6 +256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_sum": q_subtree_sum,
         "knn": q_knn,
         "point_in_polygon": q_point_in_polygon,
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "media_features": q_media_features,
     }
 
 
@@ -204,4 +282,10 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sum": oracles.q_subtree_sum(),
         "knn": oracles.q_knn(KNN_K, COPIES),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES),
+        "text_features": oracles.q_text_features(),
+        "dedup_exact": dd.dd_dedup_exact(),
+        "jaccard_pairs": dd.dd_jaccard_pairs(JACCARD_PCT, 3),
+        "ann_topk": _ann_oracle(),
+        # minhash_lsh / simhash / media_features: intentionally no
+        # oracle (non-portable hashes / UDF plumbing) → rows-only check
     }

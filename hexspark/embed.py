@@ -96,21 +96,27 @@ def dd_ann_topk_brute(k: int, n_queries: int) -> str:
 def hyperplane_signatures(
     df: DataFrame,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH: sign pattern of ``n_planes`` fixed random
-    projections, packed into a BIGINT bucket id.  The planes are
+    """Multi-table random-hyperplane LSH: for each of ``n_tables``
+    independent plane sets, the sign pattern of ``n_planes`` fixed
+    random projections packed into a BIGINT bucket id (table id in the
+    high bits).  One output row per (row, table).  The planes are
     deterministic (seeded) literals baked into the plan — broadcast-free."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        d = dot(F.col(vec_col).cast("array<double>"), plane)
-        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return df.withColumn("bucket", sig)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    buckets = []
+    for t in range(n_tables):
+        sig = F.lit(t << n_planes).cast("long")
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
+            d = dot(F.col(vec_col).cast("array<double>"), plane)
+            sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
+        buckets.append(sig)
+    return df.withColumn("bucket", F.explode(F.array(*buckets)))
 
 
 def ann_topk_lsh(
@@ -118,18 +124,26 @@ def ann_topk_lsh(
     queries: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 4,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     query_key: str = "query_id",
     query_vec: str = "qvec",
 ) -> DataFrame:
-    """Bucketed ANN: equi-join on the hyperplane bucket replaces the
-    cross join (candidates drop ~2^n_planes-fold), then exact re-rank.
-    Recall < 1 by design; tests measure it against the brute baseline."""
-    c = hyperplane_signatures(corpus, dim, n_planes, vec_col=vec_col)
-    q = hyperplane_signatures(queries, dim, n_planes, vec_col=query_vec)
-    cand = c.join(F.broadcast(q), on="bucket", how="inner")
+    """Bucketed ANN: equi-join on hyperplane buckets replaces the cross
+    join (candidates drop ~2^n_planes/n_tables-fold), then exact
+    re-rank over the deduplicated candidates.  Recall < 1 by design;
+    tests measure it against the brute baseline — raise ``n_tables``
+    (more recall, more candidates) or ``n_planes`` (fewer candidates,
+    less recall) to tune."""
+    c = hyperplane_signatures(corpus, dim, n_planes, n_tables, vec_col=vec_col)
+    q = hyperplane_signatures(queries, dim, n_planes, n_tables, vec_col=query_vec)
+    cand = (
+        c.join(F.broadcast(q.select("bucket", query_key, query_vec)), on="bucket", how="inner")
+        .drop("bucket")
+        .dropDuplicates([query_key, key_col])
+    )
     sim = F.round(
         cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
     )

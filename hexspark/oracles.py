@@ -222,6 +222,20 @@ def q_knn(k: int, copies: int) -> str:
     """
 
 
+def q_text_features() -> str:
+    from . import text as tx
+
+    return f"""
+        SELECT doc_id,
+               {tx.dd_token_count('text')} AS toks,
+               {tx.dd_word_count('text')} AS words,
+               {tx.dd_lang_id('text')} AS lang_guess,
+               {tx.dd_quality_score('text')} AS quality,
+               {tx.dd_fingerprint('text')} AS fp
+        FROM documents
+    """
+
+
 def q_point_in_polygon(regions: dict, copies: int) -> str:
     pip = pip_sql_predicate("lat", "lon", regions["alpha"])
     return f"""

@@ -36,7 +36,8 @@ def word_count(text: Column) -> Column:
 
 
 def dd_word_count(text: str) -> str:
-    return f"CAST(len(string_split_regex(trim({text}), '{WORD_SPLIT_RE.replace(chr(92), chr(92) * 2)}')) AS BIGINT)"
+    # DuckDB single-quoted strings keep backslashes literally
+    return f"CAST(len(string_split_regex(trim({text}), '{WORD_SPLIT_RE}')) AS BIGINT)"
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -46,7 +47,7 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 
 def dd_stopword_hits(text: str, lang: str) -> str:
-    pat = r"\\b(" + "|".join(STOPWORDS[lang]) + r")\\b"
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
     return f"CAST(len(regexp_extract_all(lower({text}), '{pat}')) AS BIGINT)"
 
 

@@ -1,0 +1,132 @@
+"""Module tests for text / dedup / embed / multimodal beyond the oracle
+gate: LSH recall, partitioning-independence, invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import dedup as dd
+from hexspark.embed import ann_topk_brute, ann_topk_lsh
+from hexspark.multimodal import extract_features, frame_sample, synth_media
+from hexspark.pages import extract_text, make_html
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """LSH candidates must recover most truly-similar pairs (recall vs
+    the exact jaccard ground truth) while pruning the pair space."""
+    truth = {
+        (r["ida"], r["idb"])
+        for r in dd.jaccard_pairs(docs, threshold_pct=80, n=3).collect()
+    }
+    sigs = dd.minhash_signature(docs, num_hashes=16, n=3)
+    cand = {
+        (r["ida"], r["idb"]) for r in dd.lsh_candidates(sigs, 4, 4).collect()
+    }
+    n_docs = docs.count()
+    assert len(cand) < n_docs * (n_docs - 1) / 4  # actually prunes
+    if truth:
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_simhash_deterministic_and_similarity(spark, docs):
+    a = {r["id"]: r["simhash"] for r in dd.simhash(docs, bits=32).collect()}
+    b = {
+        r["id"]: r["simhash"]
+        for r in dd.simhash(docs.repartition(13), bits=32).collect()
+    }
+    assert a == b  # partitioning-independent
+    # identical text ⇒ identical simhash
+    dup = docs.limit(1).unionByName(docs.limit(1))
+    sigs = dd.simhash(dup.withColumn("doc_id", F.monotonically_increasing_id()))
+    vals = [r["simhash"] for r in sigs.collect()]
+    assert len(vals) == 2 and vals[0] == vals[1]
+
+
+def test_ann_lsh_recall_near_duplicates(spark, sf_dir):
+    """LSH's job is dense-neighborhood recovery: queries are slightly
+    perturbed copies of corpus vectors; the source vector must surface
+    as a top-k candidate with high recall.  (Uniform-random corpora
+    have no meaningful neighbors — global top-k recall there is a
+    parameter-tuning exercise, not a correctness property.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    rows = emb.filter(F.col("vec_id") < 20).collect()
+    rng = np.random.default_rng(7)
+    queries = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]),
+                [float(v + 0.02 * e) for v, e in zip(r["embedding"], rng.standard_normal(64))],
+            )
+            for r in rows
+        ],
+        "query_id: long, qvec: array<float>",
+    )
+    lsh = ann_topk_lsh(emb, queries, 5, dim=64, n_planes=8, n_tables=4)
+    got = {(r["query_id"], r["vec_id"]) for r in lsh.collect()}
+    hits = sum((i, i) in got for i in range(20))
+    assert hits >= 18, f"near-dup recall {hits}/20"
+    # and LSH's survivors agree with brute force on those pairs
+    brute = ann_topk_brute(emb, queries, 5)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    assert all((i, i) in truth for i in range(20))
+
+
+def test_media_feature_plumbing(spark, docs):
+    media = synth_media(docs.limit(50), kind="image")
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 50
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic across partitionings
+    feats2 = extract_features(synth_media(docs.limit(50)).repartition(7), dim=16)
+    m1 = {r["media_id"]: list(r["feature"]) for r in feats}
+    m2 = {r["media_id"]: list(r["feature"]) for r in feats2.collect()}
+    assert m1 == m2
+
+
+def test_frame_sample(spark, docs):
+    media = synth_media(docs.limit(5), kind="video").withColumn(
+        "duration_ms", F.lit(3500)
+    )
+    frames = frame_sample(media, every_ms=1000).collect()
+    # 0,1000,2000,3000 per video
+    assert len(frames) == 20
+    assert sorted({r["frame_ms"] for r in frames}) == [0, 1000, 2000, 3000]
+
+
+def test_extract_text_byte_identical(spark, docs):
+    """BASELINE invariant: extracted text is a pure function of html —
+    byte-identical per url regardless of parallelism, and recovers the
+    original document text exactly (round-trip through make_html)."""
+    src = docs.select(
+        F.col("doc_id"), F.col("text").alias("orig"),
+        make_html(F.col("text"), F.col("doc_id").cast("string")).alias("html"),
+    )
+    out1 = src.select("doc_id", extract_text(F.col("html")).alias("t")).collect()
+    out32 = (
+        src.repartition(32)
+        .select("doc_id", extract_text(F.col("html")).alias("t"))
+        .collect()
+    )
+    orig = {r["doc_id"]: r["orig"] for r in src.select("doc_id", "orig").collect()}
+    m1 = {r["doc_id"]: r["t"] for r in out1}
+    m2 = {r["doc_id"]: r["t"] for r in out32}
+    assert m1 == m2 == orig
+
+
+def test_extract_text_handles_angle_brackets(spark):
+    tricky = spark.createDataFrame(
+        [(1, "a < b & c <tag> d"), (2, "<html>nested & stuff</html>")],
+        "doc_id: long, text: string",
+    )
+    src = tricky.select(
+        "doc_id", "text",
+        make_html(F.col("text"), F.lit("t")).alias("html"),
+    )
+    got = src.select("doc_id", "text", extract_text(F.col("html")).alias("t"))
+    assert got.filter(F.col("t") != F.col("text")).count() == 0
