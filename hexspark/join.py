@@ -139,7 +139,13 @@ def probe_indexed(
     # to float64 and corrupt >2^53 cell values.
     qcol = "__qcell"
     src = probes.withColumn(qcol, F.coalesce(F.col(probe_col), F.lit(-1).cast("long")))
-    schema = probes.schema.add(StructField(stored_col, LongType(), True))
+    # note: StructType.add mutates in place — never call it on a cached
+    # df.schema; build a fresh StructType instead
+    from pyspark.sql.types import StructType
+
+    schema = StructType(
+        list(probes.schema.fields) + [StructField(stored_col, LongType(), True)]
+    )
 
     def fn(batches):
         d = bidx.value

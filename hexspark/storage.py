@@ -1,0 +1,89 @@
+"""Region-table storage parity: the DiskTree subsystem re-expressed.
+
+The reference's on-disk tree (header + 122 dptrs + tagged nodes +
+varint leaves, /root/reference/src/disktree/) collapses to Parquet:
+columnar encoding, footer/row-group pruning, and zero-copy Arrow reads
+play the roles of varints, dptr seeks, and mmap.  What must be
+preserved is *semantics*:
+
+* lookups against the stored table == in-memory lookups
+  (/root/reference/src/disktree/tree.rs:66-114) — free, same DataFrame
+  code path over ``spark.read.parquet``;
+* iteration order parity: DFS digit order == ascending ``lo(cell)``
+  (/root/reference/src/disktree/mod.rs:226-231) — we sort on write so
+  row-group min/max on ``__lo`` gives the dptr-skip effect for
+  ``descendants`` range scans.
+
+Also provides the reference's raw ingest formats as sources/sinks
+(S1 h3idx = LE u64; S2 kepler csv = hex strings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells as cx
+
+
+def write_region(df: DataFrame, path: str, cell_col: str = "cell") -> None:
+    """Persist a compacted region table sorted by subtree range-start.
+
+    Single file per base-cell bucket would be overkill for broadcast-
+    scale tables; one sorted file preserves global iteration order and
+    maximizes row-group pruning on the range key."""
+    (
+        df.withColumn("__lo", cx.lo(cell_col))
+        .repartition(1)
+        .sortWithinPartitions("__lo")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_region(spark: SparkSession, path: str, ordered: bool = False) -> DataFrame:
+    df = spark.read.parquet(path)
+    if ordered:
+        df = df.orderBy("__lo")
+    return df.drop("__lo") if not ordered else df
+
+
+def iterate(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """``iter()`` parity: all leaves in reference DFS emission order."""
+    return df.orderBy(cx.lo(cell_col))
+
+
+def write_h3idx(df: DataFrame, path: str, cell_col: str = "cell") -> None:
+    """S1 sink: raw little-endian u64 cells (driver-side; region tables
+    are broadcast-scale by construction)."""
+    cells = np.array(
+        [r[0] for r in iterate(df, cell_col).select(cell_col).collect()],
+        dtype="<i8",
+    )
+    with open(path, "wb") as f:
+        f.write(cells.astype("<u8").tobytes())
+
+
+def read_h3idx(spark: SparkSession, path: str) -> DataFrame:
+    """S1 source (doctest pattern /root/reference/src/hex_tree_map.rs:31-37)."""
+    with open(path, "rb") as f:
+        cells = np.frombuffer(f.read(), dtype="<u8").astype(np.int64)
+    return spark.createDataFrame([(int(c),) for c in cells], "cell: long")
+
+
+def write_kepler_csv(df: DataFrame, path: str, cell_col: str = "cell") -> None:
+    """S2 sink: ``h3_id`` header + lowercase hex cells."""
+    rows = iterate(df, cell_col).select(cx.to_hex(cell_col).alias("h")).collect()
+    with open(path, "w") as f:
+        f.write("h3_id\n")
+        for r in rows:
+            f.write(r["h"] + "\n")
+
+
+def read_kepler_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S2 source: distributed csv scan + native hex parse."""
+    return (
+        spark.read.option("header", True).csv(path)
+        .select(cx.from_hex(F.col("h3_id")).alias("cell"))
+    )

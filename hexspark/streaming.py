@@ -1,0 +1,79 @@
+"""Structured-Streaming ingest reusing the batch spatial stages.
+
+The reference is batch-only; the engine adds streaming ingest as an
+optional path (SURVEY §2.6): a ``foreachBatch`` sink runs the exact
+batch geotag→encode→region-assign pipeline per micro-batch, and a
+watermarked windowed aggregation handles late ``warc_ts`` arrivals.
+State lives in Spark's checkpoint dir — resume comes free and composes
+with the batch Checkpointer for derived tables.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import join as jx
+from .geo import grid_encode
+from . import synth
+
+
+def encode_stream(pages: DataFrame, res: int = 12) -> DataFrame:
+    """Stateless per-row stages work unchanged on streaming DataFrames:
+    geotag + cell-encode are native Column exprs."""
+    lat, lon = synth.latlon_from_key(F.col("page_key"))
+    return (
+        pages.withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .withColumn("cell", grid_encode(F.col("lat"), F.col("lon"), res))
+    )
+
+
+def stream_region_assign(
+    stream: DataFrame,
+    regions: DataFrame,
+    checkpoint_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    res: int = 12,
+):
+    """foreachBatch: run the batch containment join per micro-batch.
+
+    The region table is a static broadcast side; each micro-batch is a
+    normal batch DataFrame inside the closure, so the *same* production
+    operator (searchsorted mapInPandas) serves both modes."""
+    encoded = encode_stream(stream, res)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = jx.get_indexed(batch_df, regions, probe_col="cell")
+        sink(assigned, batch_id)
+
+    return (
+        encoded.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_page_counts(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+    tile_res: int = 4,
+) -> DataFrame:
+    """Late-data-tolerant per-tile rollup: watermark on ``warc_ts`` +
+    tumbling window + tile groupBy (streaming-native partial aggs)."""
+    from . import cells as cx
+
+    encoded = encode_stream(stream, tile_res)
+    return (
+        encoded.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            cx.to_parent("cell", tile_res).alias("tile"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "tile", "n_pages")
+    )

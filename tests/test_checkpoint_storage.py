@@ -1,0 +1,132 @@
+"""Checkpoint/resume, storage parity, and streaming-ingest tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import build as bx
+from hexspark import cells_np as cnp
+from hexspark import storage
+from hexspark.checkpoint import Checkpointer
+from hexspark.fixtures import ensure_fixtures
+
+
+@pytest.fixture(scope="module")
+def monaco(spark):
+    paths = ensure_fixtures()
+    return spark.read.parquet(paths["monaco_res12"]).cache()
+
+
+def test_checkpoint_resume_and_lineage(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    ck = Checkpointer(spark, root)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    df1 = ck.stage("s1", make)
+    assert df1.count() == 100 and calls["n"] == 1
+    # resume: second run skips recompute
+    df2 = ck.stage("s1", make)
+    assert df2.count() == 100 and calls["n"] == 1
+    man = ck.manifest("s1")
+    assert man["complete"] and man["rows"] == 100
+    assert man["n_partitions"] >= 1
+    assert all("rows" in p and "bytes" in p for p in man["partitions"])
+    # incomplete stage (simulated crash: manifest missing) recomputes
+    ck2 = Checkpointer(spark, root)
+    os.remove(os.path.join(root, "s1", "_hexspark_manifest.json"))
+    ck2.stage("s1", make)
+    assert calls["n"] == 2
+
+
+def test_checkpoint_quarantine_metrics(spark, tmp_path):
+    ck = Checkpointer(spark, str(tmp_path / "q"))
+    src = spark.createDataFrame([(-5,), (0,), (0x85283473FFFFFFF,)], "cell: long")
+    valid, bad = bx.validate_cells(src)
+    ck.stage("ingest", lambda: valid, quarantine_fn=lambda: bad)
+    man = ck.manifest("ingest")
+    assert man["rows"] == 1 and man["quarantined_rows"] == 2
+
+
+def test_storage_roundtrip_and_iteration_order(spark, monaco, tmp_path):
+    built = bx.build_region(monaco, compactor="set")
+    path = str(tmp_path / "monaco_region")
+    storage.write_region(built, path)
+    back = storage.read_region(spark, path)
+    assert back.select("cell").exceptAll(built.select("cell")).count() == 0
+    assert built.select("cell").exceptAll(back.select("cell")).count() == 0
+    # iteration order parity: ascending lo == reference DFS order
+    it = [r["cell"] for r in storage.iterate(back).select("cell").collect()]
+    los = cnp.lo(np.array(it, dtype=np.int64))
+    assert (np.diff(los) > 0).all()
+    # and every lookup against storage == in-memory (disktree get parity)
+    from hexspark import join as jx
+
+    probes = monaco.select(F.col("cell").alias("probe"))
+    mem = jx.get_indexed(probes, built, probe_col="probe")
+    dsk = jx.get_indexed(probes, back, probe_col="probe")
+    assert mem.select("probe", "stored_cell").exceptAll(
+        dsk.select("probe", "stored_cell")
+    ).count() == 0
+
+
+def test_h3idx_and_kepler_roundtrip(spark, monaco, tmp_path):
+    p1 = str(tmp_path / "cells.h3idx")
+    storage.write_h3idx(monaco, p1)
+    back = storage.read_h3idx(spark, p1)
+    assert back.exceptAll(monaco).count() == 0 and monaco.exceptAll(back).count() == 0
+    p2 = str(tmp_path / "cells.csv")
+    storage.write_kepler_csv(monaco, p2)
+    back2 = storage.read_kepler_csv(spark, p2)
+    assert back2.exceptAll(monaco).count() == 0 and monaco.exceptAll(back2).count() == 0
+
+
+def test_streaming_region_assign(spark, tmp_path):
+    """availableNow micro-batch run of the streaming pipeline over a
+    file source; results must equal the batch pipeline on the same rows."""
+    from hexspark import ops
+    from hexspark import streaming as st
+
+    src_dir = str(tmp_path / "stream_src")
+    out: dict[int, list] = {}
+    pages = spark.range(500).select(
+        F.col("id").alias("page_key"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+    )
+    pages.write.mode("overwrite").parquet(src_dir)
+
+    regions = ops.region_map(spark).cache()
+    regions.count()
+
+    stream = spark.readStream.schema(
+        "page_key long, warc_ts timestamp"
+    ).parquet(src_dir)
+
+    def sink(df, batch_id):
+        out.setdefault(batch_id, []).extend(
+            df.filter(F.col("stored_cell").isNotNull())
+            .select("page_key", "region").collect()
+        )
+
+    q = st.stream_region_assign(
+        stream, regions, str(tmp_path / "ckpt"), sink
+    )
+    q.awaitTermination(120)
+
+    got = {(r["page_key"], r["region"]) for rows in out.values() for r in rows}
+    # batch reference
+    batch = st.encode_stream(spark.read.parquet(src_dir))
+    from hexspark import join as jx
+
+    expected = {
+        (r["page_key"], r["region"])
+        for r in jx.get_indexed(batch, regions, probe_col="cell")
+        .select("page_key", "region").collect()
+    }
+    assert got == expected and len(got) > 0
