@@ -30,22 +30,43 @@ WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
-from hexspark import ops
-from hexspark.pages import synth_pages
+from hexspark import ops, synth
+from hexspark.geo import grid_encode
 from hexspark.session import get_spark
 
 cores = int(sys.argv[1])
 spark = get_spark("scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores, 8))
 spark.sparkContext.setLogLevel("ERROR")
-pages = synth_pages(spark, {sf_dir!r}, copies={copies}, res=12, with_html=False)
-pages = pages.repartition(cores * 2).persist()
-n = pages.count()
+
+# persist only the RAW page keys; the timed job covers the full
+# north-metric path: geotag -> cell-encode -> containment join -> agg
+docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
+raw = (
+    docs.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(0), F.lit({copies} - 1))).alias("copy"),
+    )
+    .select((F.col("doc_id") * {copies} + F.col("copy")).alias("page_key"), "lang")
+    .repartition(cores * 2)
+    .persist()
+)
+n = raw.count()
 regions = ops.region_map(spark).persist()
 regions.count()
+
+def job():
+    lat, lon = synth.latlon_from_key(F.col("page_key"))
+    pages = (
+        raw.withColumn("lat", lat).withColumn("lon", lon)
+        .withColumn("cell", grid_encode(F.col("lat"), F.col("lon"), 12))
+    )
+    return ops.region_counts(pages, regions).collect()
+
+job()  # warm-up: JIT, python workers, broadcast
 best = None
 for _ in range({rounds}):
     t0 = time.perf_counter()
-    ops.region_counts(pages, regions).collect()
+    job()
     dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({{"cores": cores, "n_pages": n, "sec": best,

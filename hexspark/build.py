@@ -114,6 +114,8 @@ def compact_np(
     cells = np.asarray(cells, dtype=np.int64)
     if compactor == "none" or len(cells) == 0:
         return cells, values
+    if callable(compactor):
+        return _compact_np_custom(cells, values, compactor)
     if compactor not in ("set", "eq"):
         raise ValueError(f"unknown compactor {compactor!r}")
     if compactor == "eq" and values is None:
@@ -153,6 +155,52 @@ def compact_np(
         else:
             cells = np.concatenate([cells[keep], full_sorted])
     return cells, vals
+
+
+def _compact_np_custom(cells, values, fn):
+    """User-pluggable compactor (the ``Compactor`` trait,
+    /root/reference/src/compaction.rs:13-20): ``fn(parent_cell,
+    children)`` gets the 7-slot list of child values (None = absent)
+    and returns the coalesced value or None.  Called bottom-up only on
+    parents none of whose children is itself a Parent node
+    (/root/reference/src/node.rs:58-64); batch semantics are the
+    deterministic fixpoint of the final cell set."""
+    vals = None if values is None else list(values)
+    cl = list(cells)
+    for r in range(K.MAX_RES, 0, -1):
+        arr = np.array(cl, dtype=np.int64)
+        rs = cnp.res(arr)
+        at = np.flatnonzero(rs == r)
+        if len(at) == 0:
+            continue
+        deeper = arr[rs > r]
+        blocked = set(cnp.to_parent(deeper, r - 1).tolist()) if len(deeper) else set()
+        parents = cnp.to_parent(arr[at], r - 1)
+        by_parent: dict[int, list[int]] = {}
+        for local, p in zip(at.tolist(), parents.tolist()):
+            if p not in blocked:
+                by_parent.setdefault(p, []).append(local)
+        shift = (K.MAX_RES - r) * K.DIGIT_BITS
+        doomed: set[int] = set()
+        new_rows: list[tuple[int, object]] = []
+        for p, idxs in by_parent.items():
+            children = [None] * 7
+            for i in idxs:
+                d = (cl[i] >> shift) & 0x7
+                children[d] = vals[i] if vals is not None else ()
+            v = fn(p, children)
+            if v is not None:
+                doomed.update(idxs)
+                new_rows.append((p, v))
+        if not new_rows:
+            continue
+        keep = [i for i in range(len(cl)) if i not in doomed]
+        cl = [cl[i] for i in keep] + [p for p, _ in new_rows]
+        if vals is not None:
+            vals = [vals[i] for i in keep] + [v for _, v in new_rows]
+    out_c = np.array(cl, dtype=np.int64)
+    out_v = None if vals is None else np.array(vals, dtype=object)
+    return out_c, out_v
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +261,64 @@ def build_region(
     deduped = dedupe_cells(valid, cell_col, value_col, dedupe_policy)
     pruned = drop_covered(deduped, cell_col)
     return compact_df(pruned, cell_col, value_col, compactor)
+
+
+def upsert(
+    region: DataFrame,
+    updates: DataFrame,
+    cell_col: str = "cell",
+    value_col: str = "value",
+    mode: str = "or_insert",
+    compactor: str = "none",
+) -> DataFrame:
+    """Read-modify-write upsert — the ``entry()`` API re-expressed
+    (/root/reference/src/entry.rs:59-182) as join + rebuild.
+
+    * ``or_insert``    — keep the existing value where the *exact or
+      ancestor* cell already resolves (a vacant-entry insert only);
+      mirrors ``entry(c).or_insert(v)``: inserting under a covering
+      leaf is a no-op (rule 3), inserting at a stored leaf keeps it.
+    * ``overwrite``    — update wins at exact cells; new cells insert
+      (``and_modify``-style whole-value replacement).
+
+    Both then re-run the ancestor-wins + compaction pipeline so the
+    result is again a canonical compacted table.
+    """
+    from . import join as jx
+
+    if mode == "or_insert":
+        # drop updates already covered by (ancestor-or-self) leaves
+        probed = jx.probe_indexed(
+            updates.select(cell_col, value_col), region, probe_col=cell_col,
+            region_col=cell_col, stored_col="__hit",
+        )
+        fresh = probed.filter(F.col("__hit").isNull()).drop("__hit")
+        merged = region.select(cell_col, value_col).unionByName(fresh)
+    elif mode == "overwrite":
+        upd = updates.select(
+            F.col(cell_col), F.col(value_col).alias("__new")
+        )
+        merged = (
+            region.select(cell_col, value_col)
+            .join(upd, on=cell_col, how="full")
+            .select(
+                cell_col,
+                F.coalesce(F.col("__new"), F.col(value_col)).alias(value_col),
+            )
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return build_region(
+        merged, cell_col=cell_col, value_col=value_col, compactor=compactor,
+        dedupe_policy="min",
+    )
+
+
+def map_values(df: DataFrame, value_col: str, fn) -> DataFrame:
+    """``iter_mut`` equivalent: immutable whole-table value rewrite
+    (/root/reference/src/iteration.rs:125-201).  ``fn`` maps a Column
+    to a Column; keys are untouched, so compaction state is preserved."""
+    return df.withColumn(value_col, fn(F.col(value_col)))
 
 
 def uncompact_df(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:

@@ -59,8 +59,14 @@ def assign_regions(
 def region_counts(
     pages: DataFrame, regions: DataFrame, form: str = "indexed"
 ) -> DataFrame:
-    """Pages per region — the headline throughput query."""
-    assigned = assign_regions(pages, regions, how="inner", form=form)
+    """Pages per region — the headline throughput query.
+
+    Pages are projected to (cell, lang) *before* the join: Catalyst
+    cannot prune columns through ``mapInPandas`` (the UDF signature
+    pins the schema), so we prune manually — at 10^12 rows this keeps
+    url/html/text bytes out of the Arrow channel entirely."""
+    slim = pages.select("cell", "lang")
+    assigned = assign_regions(slim, regions, how="inner", form=form)
     return assigned.groupBy("region").agg(
         F.count("*").alias("n_pages"),
         F.count_distinct("lang").alias("n_langs"),
