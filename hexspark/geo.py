@@ -229,6 +229,131 @@ def polyfill(
 
 
 # ---------------------------------------------------------------------------
+# lattice coordinates / k-ring (grid_disk)
+# ---------------------------------------------------------------------------
+
+def _axis_levels(res: int) -> tuple[int, int]:
+    """(x_levels, y_levels) consumed by a res-``res`` grid cell."""
+    return (res + 1) // 2, res // 2
+
+
+def cell_to_ij_np(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode grid cells to global integer lattice coords (i=x, j=y).
+
+    All cells must share one resolution.  The lattice at res r is
+    (GRID_DIM*7^xl) × (GRID_DIM*7^yl)."""
+    from . import cells_np as cnp
+
+    res = int(cnp.res(cells[:1])[0])
+    xl, yl = _axis_levels(res)
+    base = cnp.base_cell(cells)
+    bi = (base % GRID_DIM).astype(np.int64)
+    bj = (base // GRID_DIM).astype(np.int64)
+    i = bi
+    j = bj
+    xi_seen = yi_seen = 0
+    for lvl in range(1, res + 1):
+        d = cnp.digit(cells, lvl)
+        if lvl % 2 == 1:
+            i = i * 7 + d
+            xi_seen += 1
+        else:
+            j = j * 7 + d
+            yi_seen += 1
+    return i, j, np.full(len(cells), res, dtype=np.int64)
+
+
+def ij_to_cell_np(i: np.ndarray, j: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of :func:`cell_to_ij_np` (same digit interleaving)."""
+    from . import cells_np as cnp
+    from . import constants as K2
+
+    xl, yl = _axis_levels(res)
+    # peel digits back off in reverse level order
+    xd: list[np.ndarray] = []
+    yd: list[np.ndarray] = []
+    ii, jj = i.copy(), j.copy()
+    for lvl in range(res, 0, -1):
+        if lvl % 2 == 1:
+            xd.append(ii % 7)
+            ii //= 7
+        else:
+            yd.append(jj % 7)
+            jj //= 7
+    base = jj * GRID_DIM + ii
+    digits = np.full(len(i), K2.trailing_mask(res), dtype=np.int64)
+    xd.reverse()
+    yd.reverse()
+    xi = yi = 0
+    for lvl in range(1, res + 1):
+        d = xd[xi] if lvl % 2 == 1 else yd[yi]
+        if lvl % 2 == 1:
+            xi += 1
+        else:
+            yi += 1
+        digits += d.astype(np.int64) << ((K2.MAX_RES - lvl) * K2.DIGIT_BITS)
+    return cnp.make_cell(base, np.full(len(i), res, dtype=np.int64), digits)
+
+
+def grid_disk_np(cell: int, k: int) -> np.ndarray:
+    """All cells within lattice Chebyshev distance ``k`` of ``cell`` —
+    the engine's ``grid_disk``/k-ring (the reference consumes h3's via
+    dev-deps; ours is exact on the grid-encoder lattice)."""
+    from . import cells_np as cnp
+
+    c = np.array([cell], dtype=np.int64)
+    res = int(cnp.res(c)[0])
+    xl, yl = _axis_levels(res)
+    ni = GRID_DIM * 7**xl
+    nj = GRID_DIM * 7**yl
+    i0, j0, _ = cell_to_ij_np(c)
+    di, dj = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1))
+    i = i0[0] + di.ravel()
+    j = j0[0] + dj.ravel()
+    ok = (i >= 0) & (i < ni) & (j >= 0) & (j < nj)
+    return ij_to_cell_np(i[ok], j[ok], res)
+
+
+def grid_ring_distance_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Lattice Chebyshev distance between same-res cells (the k-ring
+    index that would first include the other cell)."""
+    ia, ja, _ = cell_to_ij_np(a)
+    ib, jb, _ = cell_to_ij_np(b)
+    return np.maximum(np.abs(ia - ib), np.abs(ja - jb))
+
+
+def knn_rings(
+    stored: DataFrame,
+    probes: list[int],
+    k: int,
+    max_ring: int = 8,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """J7 kNN, reference recipe: explode each probe's k-ring disks,
+    broadcast-join against the stored cell set, rank by ring then cell.
+
+    Exact for ring-metric kNN whenever k neighbors exist within
+    ``max_ring`` (widen otherwise).  The stored side is the big table —
+    the tiny exploded probe rings broadcast."""
+    spark = stored.sparkSession
+    rows = []
+    for p in probes:
+        disk = grid_disk_np(int(p), max_ring)
+        rings = grid_ring_distance_np(
+            disk, np.full(len(disk), p, dtype=np.int64)
+        )
+        rows += [(int(p), int(c), int(r)) for c, r in zip(disk, rings)]
+    ring_df = spark.createDataFrame(rows, "probe: long, cell: long, ring: long")
+    joined = stored.join(F.broadcast(ring_df), on=cell_col, how="inner")
+    w = Window.partitionBy("probe").orderBy(F.col("ring").asc(), F.col(cell_col).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe", "rank", F.col(cell_col), "ring")
+    )
+
+
+# ---------------------------------------------------------------------------
 # distance + kNN
 # ---------------------------------------------------------------------------
 

@@ -47,12 +47,13 @@ def assign_regions(
     pages: DataFrame,
     regions: DataFrame,
     how: str = "inner",
-    form: str = "indexed",
+    form: str = "auto",
 ) -> DataFrame:
     """Attach (stored_cell, region) to each page by nearest-ancestor
-    containment — the flagship spatial join.  ``form`` picks the
-    production searchsorted path or the declarative explode path."""
-    fn = jx.get_indexed if form == "indexed" else jx.get_explode
+    containment — the flagship spatial join.  ``form``: 'auto' picks
+    codegen explode vs searchsorted by region res-set (see
+    join.get_auto); 'indexed'/'explode' force a path."""
+    fn = {"auto": jx.get_auto, "indexed": jx.get_indexed, "explode": jx.get_explode}[form]
     return fn(pages, regions, probe_col="cell", region_col="cell", how=how)
 
 

@@ -1,0 +1,103 @@
+"""Geometry layer tests: encoder nesting, lattice/k-ring, polyfill, PIP."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import cells_np as cnp
+from hexspark import geo
+from hexspark.geo import (
+    GRID_DIM, cell_to_ij_np, grid_disk_np, grid_encode, grid_encode_np,
+    grid_ring_distance_np, ij_to_cell_np, knn_rings, point_in_polygon_np,
+    pip_column, polyfill,
+)
+
+RNG = np.random.default_rng(11)
+LAT = RNG.uniform(-89, 89, 300)
+LON = RNG.uniform(-179, 179, 300)
+
+
+def test_encoder_nesting_invariant(spark):
+    """to_parent(encode(p, r2), r1) == encode(p, r1) — hierarchy holds."""
+    for r1, r2 in [(0, 12), (3, 12), (7, 9), (11, 12)]:
+        fine = grid_encode_np(LAT, LON, r2)
+        coarse = grid_encode_np(LAT, LON, r1)
+        promoted = cnp.to_parent(fine, r1)
+        assert (promoted == coarse).all(), (r1, r2)
+    assert cnp.is_valid(grid_encode_np(LAT, LON, 12)).all()
+
+
+def test_encoder_spark_numpy_parity(spark):
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(LAT[:50], LON[:50])], "lat: double, lon: double"
+    )
+    got = [r["c"] for r in df.select(grid_encode(F.col("lat"), F.col("lon"), 12).alias("c")).collect()]
+    want = grid_encode_np(LAT[:50], LON[:50], 12)
+    assert got == want.tolist()
+
+
+def test_lattice_roundtrip():
+    cells = grid_encode_np(LAT, LON, 9)
+    i, j, r = cell_to_ij_np(cells)
+    back = ij_to_cell_np(i, j, 9)
+    assert (back == cells).all()
+
+
+def test_grid_disk_and_ring_distance():
+    c = int(grid_encode_np(np.array([10.0]), np.array([20.0]), 6)[0])
+    disk1 = grid_disk_np(c, 1)
+    assert len(disk1) == 9 and c in disk1.tolist()
+    disk2 = grid_disk_np(c, 2)
+    assert len(disk2) == 25
+    d = grid_ring_distance_np(disk2, np.full(len(disk2), c, dtype=np.int64))
+    assert d.max() == 2 and (d == 0).sum() == 1
+    # disk respects lattice edges
+    edge = int(grid_encode_np(np.array([-89.99]), np.array([-179.99]), 6)[0])
+    disk_e = grid_disk_np(edge, 1)
+    assert len(disk_e) == 4  # corner cell
+
+
+def test_knn_rings(spark):
+    # concentrate points so k neighbors exist within max_ring
+    pts_lat = RNG.uniform(-5, 5, 400)
+    pts_lon = RNG.uniform(-5, 5, 400)
+    cells = grid_encode_np(pts_lat, pts_lon, 5)
+    stored = spark.createDataFrame([(int(c),) for c in np.unique(cells)], "cell: long")
+    probe = int(grid_encode_np(np.array([0.0]), np.array([0.0]), 5)[0])
+    out = knn_rings(stored, [probe], k=5, max_ring=30)
+    rows = out.collect()
+    assert len(rows) == 5
+    ranks = [r["rank"] for r in rows]
+    assert sorted(ranks) == [1, 2, 3, 4, 5]
+    # oracle: rings must be the 5 smallest Chebyshev distances
+    uniq = np.unique(cells)
+    dd = grid_ring_distance_np(uniq, np.full(len(uniq), probe, dtype=np.int64))
+    want = np.sort(dd)[:5]
+    got = np.sort([r["ring"] for r in rows])
+    assert got.tolist() == want.tolist()
+
+
+def test_pip_numpy_vs_column(spark):
+    poly = [(25.0, -100.0), (40.0, -95.0), (38.0, -80.0), (28.0, -78.0), (22.0, -90.0)]
+    want = point_in_polygon_np(LAT, LON, poly)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(LAT, LON)], "lat: double, lon: double"
+    )
+    got = [r["p"] for r in df.select(pip_column(F.col("lat"), F.col("lon"), poly).alias("p")).collect()]
+    assert got == want.tolist()
+    assert 0 < sum(got) < len(got)
+
+
+def test_polyfill_covers_polygon(spark):
+    poly = [(10.0, 10.0), (20.0, 10.0), (20.0, 25.0), (10.0, 25.0)]
+    cells = polyfill(spark, poly, 4)
+    n = cells.count()
+    assert n > 50
+    got = np.array([r["cell"] for r in cells.collect()], dtype=np.int64)
+    assert cnp.is_valid(got).all()
+    assert (cnp.res(got) == 4).all()
+    # every interior sample point's res-4 cell is in the polyfill
+    sl = RNG.uniform(11, 19, 200)
+    sn = RNG.uniform(11, 24, 200)
+    sample_cells = grid_encode_np(sl, sn, 4)
+    assert np.isin(sample_cells, got).all()
