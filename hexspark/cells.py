@@ -207,6 +207,20 @@ def make_cell(base: Column, r: Column, digits: Column) -> Column:
     )
 
 
+def digits_array(cell: ColumnOrName) -> Column:
+    """Array of the cell's digits for res 1..res(cell) — the ``Digits``
+    iterator (/root/reference/src/digits.rs:10-36) as one expression.
+    Rarely needed (joins replace tree walks); provided for parity."""
+    c = _col(cell)
+    return F.filter(
+        F.array(*[
+            F.when(res(c) >= r, digit(c, r)).otherwise(F.lit(None))
+            for r in range(1, K.MAX_RES + 1)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+
+
 def to_hex(cell: ColumnOrName) -> Column:
     """Canonical string form: bare lowercase hex, no padding
     (/root/reference/src/cell.rs:318-338)."""

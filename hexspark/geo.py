@@ -229,6 +229,38 @@ def polyfill(
 
 
 # ---------------------------------------------------------------------------
+# real-H3 encoder (gated on the h3 python lib; production geometry path)
+# ---------------------------------------------------------------------------
+
+def h3_encode_udf(res: int):
+    """Vectorized real-H3 ``latlng_to_cell`` pandas UDF (J5) — the
+    production encoder when the ``h3`` lib is installed.  Uses the
+    numpy int-vector API (h3>=4 ``latlng_to_cell`` broadcasting /
+    h3.api.numpy_int), never per-row Python.  In this sandbox the lib
+    is absent; tests skip, the deterministic GridEncoder covers the
+    pipeline."""
+    if not HAS_H3:  # pragma: no cover
+        raise ImportError("h3 python library not available; use grid_encode")
+    import pandas as pd  # pragma: no cover
+    from pyspark.sql.functions import pandas_udf  # pragma: no cover
+
+    @pandas_udf("long")  # pragma: no cover
+    def _enc(lat: "pd.Series", lon: "pd.Series") -> "pd.Series":
+        try:
+            from h3.api import numpy_int as h3n
+            cells = h3n.latlng_to_cell(lat.to_numpy(), lon.to_numpy(), res)
+        except TypeError:  # non-broadcasting builds: chunked fallback
+            from h3.api import numpy_int as h3n
+            cells = np.array(
+                [h3n.latlng_to_cell(a, b, res) for a, b in zip(lat, lon)],
+                dtype=np.uint64,
+            )
+        return pd.Series(cells.astype(np.int64))
+
+    return _enc  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
 # lattice coordinates / k-ring (grid_disk)
 # ---------------------------------------------------------------------------
 

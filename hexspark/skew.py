@@ -1,0 +1,79 @@
+"""Explicit skew handling: hot-hex salting + cell-prefix range partitioning.
+
+Dense cities make some hexes orders of magnitude hotter than others.
+Three complementary tools (north_rule: "partitioning / shuffle / skew
+handled explicitly"):
+
+* AQE skew-join splitting — on by default (hexspark.session).
+* ``salted_agg`` — two-phase aggregation for skewed groupBy keys when
+  a single reducer key would bottleneck (count-distinct-heavy aggs;
+  plain sums/counts already do map-side partial aggregation).
+* ``repartition_by_cell_prefix`` — range partitioning on a coarse cell
+  prefix (+ optional salt) so co-located subtree scans and downstream
+  joins read contiguous, balanced partitions; pairs with sorted
+  Parquet writes for row-group pruning (hexspark.storage).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import cells as cx
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    n_salts: int,
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    Phase 1 groups by (key, salt) — hot keys split across ``n_salts``
+    reducers; phase 2 merges the tiny per-salt partials.  Caller
+    supplies matched partial/final agg pairs, e.g.::
+
+        salted_agg(pages, "tile", 16,
+                   [F.count("*").alias("c")],
+                   [F.sum("c").alias("n_pages")])
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    phase1 = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
+    return phase1.groupBy(key).agg(*final_aggs)
+
+
+def hot_keys(df: DataFrame, key_col: Column, top_n: int = 20) -> DataFrame:
+    """The hottest grouping keys (diagnostic for picking salt factors)."""
+    return (
+        df.groupBy(key_col.alias("key"))
+        .count()
+        .orderBy(F.col("count").desc())
+        .limit(top_n)
+    )
+
+
+def repartition_by_cell_prefix(
+    df: DataFrame,
+    prefix_res: int,
+    num_partitions: Optional[int] = None,
+    cell_col: str = "cell",
+    salt_hot: bool = False,
+    salt_col: Optional[str] = None,
+) -> DataFrame:
+    """Range-partition a pages-scale table on its coarse cell prefix.
+
+    Rows of one subtree land in contiguous partitions → subtree scans
+    (descendants, tile rollups) prune partitions; with ``salt_hot`` a
+    secondary key spreads a pathological single-prefix hot spot across
+    partitions while preserving prefix locality."""
+    prefix = cx.to_parent(cell_col, prefix_res)
+    keys = [prefix]
+    if salt_hot:
+        keys.append(F.xxhash64(F.col(salt_col)) if salt_col else F.spark_partition_id())
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *keys)
+    return df.repartitionByRange(*keys)
