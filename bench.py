@@ -33,7 +33,7 @@ from hexspark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-COPIES = int(os.environ.get("BENCH_COPIES", "400"))  # 5000 docs * 400 = 2M pages
+COPIES = int(os.environ.get("BENCH_COPIES", "4000"))  # 5000 docs * 4000 = 20M pages
 
 
 def _sf_from_dir(d: str) -> float:
@@ -90,10 +90,14 @@ def run(spark) -> tuple[dict, dict]:
     extras["pages_per_sec"] = round(n_pages / q1, 1)
     extras["region_counts"] = {r["region"]: r["n_pages"] for r in counts}
 
-    # q2: explode-join form (declarative path, for comparison)
+    # q2: alternate physical forms, for comparison with q1's auto(chained)
     timed(
         "q2_region_assign_explode",
         lambda: ops.region_counts(pages, regions, form="explode").collect(),
+    )
+    timed(
+        "q2b_region_assign_indexed",
+        lambda: ops.region_counts(pages, regions, form="indexed").collect(),
     )
 
     # q3: tile rollup at res 6

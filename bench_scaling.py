@@ -48,14 +48,20 @@ docs = spark.read.parquet({sf_dir!r} + "/documents.parquet")
 regions = ops.region_map(spark).persist()
 regions.count()
 
+n_docs = docs.count()
+dim = docs.select("doc_id", "lang")
+
 def build_query():
+    # shuffle-free parallel page synthesis: a partitioned range is the
+    # page-key spine; doc attributes attach via broadcast hash join
     raw = (
-        docs.select(
-            "doc_id", "lang",
-            F.explode(F.sequence(F.lit(0), F.lit({copies} - 1))).alias("copy"),
+        spark.range(0, n_docs * {copies}, 1, cores * 2)
+        .select(
+            F.col("id").alias("page_key"),
+            (F.col("id") % n_docs).alias("doc_id"),
         )
-        .select((F.col("doc_id") * {copies} + F.col("copy")).alias("page_key"), "lang")
-        .repartition(cores * 2)
+        .join(F.broadcast(dim), on="doc_id")
+        .drop("doc_id")
     )
     lat, lon = synth.latlon_from_key(F.col("page_key"))
     pages = (
@@ -64,7 +70,7 @@ def build_query():
     )
     return ops.region_counts(pages, regions)
 
-n = docs.count() * {copies}
+n = n_docs * {copies}
 build_query().collect()  # warm-up: codegen cache, JIT, python workers
 best = None
 for _ in range({rounds}):

@@ -53,12 +53,17 @@ def assign_regions(
     containment — the flagship spatial join.  ``form``: 'auto' picks
     codegen explode vs searchsorted by region res-set (see
     join.get_auto); 'indexed'/'explode' force a path."""
-    fn = {"auto": jx.get_auto, "indexed": jx.get_indexed, "explode": jx.get_explode}[form]
+    fn = {
+        "auto": jx.get_auto,
+        "chained": jx.get_chained,
+        "indexed": jx.get_indexed,
+        "explode": jx.get_explode,
+    }[form]
     return fn(pages, regions, probe_col="cell", region_col="cell", how=how)
 
 
 def region_counts(
-    pages: DataFrame, regions: DataFrame, form: str = "indexed"
+    pages: DataFrame, regions: DataFrame, form: str = "auto"
 ) -> DataFrame:
     """Pages per region — the headline throughput query.
 
@@ -95,7 +100,7 @@ def tile_region_rollup(
     the *tile* cell).  Tiles straddling no region drop out (inner)."""
     tiles = tile_stats(pages, tile_res)
     return (
-        jx.get_indexed(tiles, regions, probe_col="tile")
+        jx.get_auto(tiles, regions, probe_col="tile")
         .groupBy("region")
         .agg(
             F.count("*").alias("n_tiles"),
