@@ -44,6 +44,25 @@ def load_kepler_csv(path: str) -> np.ndarray:
     return np.array([int(h, 16) for h in lines[1:] if h], dtype=np.int64)
 
 
+def load_boundary_geojson(path: str) -> list[tuple[float, float]]:
+    """Parse a single-polygon GeoJSON boundary into [(lat, lon), ...]
+    (geojson stores [lon, lat])."""
+    import json
+
+    with open(path) as f:
+        gj = json.load(f)
+    geom = gj["features"][0]["geometry"]
+    assert geom["type"] == "Polygon"
+    ring = geom["coordinates"][0]
+    return [(float(lat), float(lon)) for lon, lat in ring]
+
+
+def monaco_boundary() -> list[tuple[float, float]]:
+    return load_boundary_geojson(
+        os.path.join(REFERENCE_ASSETS, "monaco.boundary.geojson")
+    )
+
+
 def ensure_fixtures() -> dict[str, str]:
     """Materialize fixture parquet files if missing; return name→path."""
     os.makedirs(FIXTURES_DIR, exist_ok=True)
