@@ -165,6 +165,41 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.filter(inside).groupBy("lang").agg(F.count("*").alias("n_pages"))
 
 
+def q_cell_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = synth.cell_from_key(F.col("o_orderkey"), 7)
+    return _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("key"),
+        cx.to_hex(c).alias("hexform"),
+        cx.from_hex(cx.to_hex(c)).alias("parsed"),
+    )
+
+
+def q_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = bx.dedupe_cells(
+        _lineitem(spark, sf_dir).select(
+            synth.cell_from_key(F.col("l_partkey"), 6).alias("cell")
+        )
+    )
+    probes = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            cx.to_parent(synth.cell_from_key(F.col("s_suppkey"), 6), 2).alias("probe")
+        )
+        .distinct()
+    )
+    out = jx.descendants_join(region, probes, probe_col="probe")
+    return out.select("probe", "cell", cx.lo("cell").alias("lo"))
+
+
+def q_uncompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(synth.cell_from_key(F.col("s_suppkey"), 4).alias("cell"))
+        .distinct()
+    )
+    return bx.uncompact_df(src, 6)
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -256,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_sum": q_subtree_sum,
         "knn": q_knn,
         "point_in_polygon": q_point_in_polygon,
+        "cell_hex": q_cell_hex,
+        "descendants": q_descendants,
+        "uncompact": q_uncompact,
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
@@ -282,6 +320,9 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sum": oracles.q_subtree_sum(),
         "knn": oracles.q_knn(KNN_K, COPIES),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES),
+        "cell_hex": oracles.q_cell_hex(),
+        "descendants": oracles.q_descendants(),
+        "uncompact": oracles.q_uncompact(),
         "text_features": oracles.q_text_features(),
         "dedup_exact": dd.dd_dedup_exact(),
         "jaccard_pairs": dd.dd_jaccard_pairs(JACCARD_PCT, 3),

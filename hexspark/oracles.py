@@ -222,6 +222,52 @@ def q_knn(k: int, copies: int) -> str:
     """
 
 
+def q_cell_hex() -> str:
+    cell = synth.dd_cell_from_key("o_orderkey", 7)
+    return f"""
+        SELECT o_orderkey AS key,
+               lower(hex({cell})) AS hexform,
+               {cell} AS parsed
+        FROM orders
+    """
+
+
+def q_descendants() -> str:
+    reg = f"SELECT DISTINCT {synth.dd_cell_from_key('l_partkey', 6)} AS cell FROM lineitem"
+    probes = f"""
+        SELECT DISTINCT {synth.dd_to_parent(synth.dd_cell_from_key('s_suppkey', 6), 2)} AS probe
+        FROM supplier
+    """
+    return f"""
+        WITH region AS ({reg}), probes AS ({probes})
+        SELECT p.probe, r.cell, {synth.dd_lo('r.cell')} AS lo
+        FROM probes p JOIN region r
+          ON {synth.dd_lo('r.cell')} <= {synth.dd_hi('p.probe')}
+         AND {synth.dd_hi('r.cell')} >= {synth.dd_lo('p.probe')}
+    """
+
+
+def dd_uncompact(src_cte: str, from_res: int, to_res: int) -> str:
+    """Unrolled descendant expansion (inverse of compaction)."""
+    ctes = [f"u{from_res} AS ({src_cte})"]
+    for r in range(from_res, to_res):
+        shift = 1 << ((K.MAX_RES - (r + 1)) * K.DIGIT_BITS)
+        bumped = f"((cell & {~K.RES_MASK}) | {(r + 1) << K.RES_OFFSET})"
+        ctes.append(
+            f"""u{r + 1} AS (
+                SELECT ({bumped} - (7 - d) * {shift}) AS cell
+                FROM u{r}, (SELECT UNNEST(RANGE(7)) AS d)
+            )"""
+        )
+    return ",\n".join(ctes)
+
+
+def q_uncompact() -> str:
+    src = f"SELECT DISTINCT {synth.dd_cell_from_key('s_suppkey', 4)} AS cell FROM supplier"
+    ctes = dd_uncompact(src, 4, 6)
+    return f"WITH {ctes} SELECT cell FROM u6"
+
+
 def q_text_features() -> str:
     from . import text as tx
 
