@@ -259,6 +259,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, bits=32)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (KMeans centroids aren't SQL-portable); exact
+    equivalence to brute force at nprobe=n_centroids is tested in
+    tests/test_text_dedup.py."""
+    from hexspark.embed import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_topk_ivf(emb, q, ANN_K, n_centroids=8, nprobe=3).select(
+        "query_id", "rank", "vec_id"
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: multimodal plumbing (binary payload → Arrow-
     batched feature extraction with a deterministic stub codec)."""
@@ -300,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
     }
 

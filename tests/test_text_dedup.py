@@ -77,6 +77,33 @@ def test_ann_lsh_recall_near_duplicates(spark, sf_dir):
     assert all((i, i) in truth for i in range(20))
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=all centroids must equal brute force exactly;
+    with small nprobe it keeps high recall on planted near-dups."""
+    from hexspark.embed import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in ann_topk_brute(emb, q, 5).collect()
+    }
+    # exhaustive probing == brute force
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_ivf(emb, q, 5, n_centroids=8, nprobe=8).collect()
+    }
+    assert full == truth
+    # partial probing: self-hit always survives, recall reasonable
+    part = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_ivf(emb, q, 5, n_centroids=8, nprobe=3).collect()
+    }
+    assert all((i, i) in part for i in range(10))
+    assert len(truth & part) / len(truth) >= 0.5
+
+
 def test_media_feature_plumbing(spark, docs):
     media = synth_media(docs.limit(50), kind="image")
     feats = extract_features(media, dim=16).collect()
