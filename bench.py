@@ -140,6 +140,24 @@ def run(spark) -> tuple[dict, dict]:
     )
     timed("q7_ann_topk", lambda: ann_topk_brute(emb, q, 10).count())
 
+    # q8: skewed tile rollup, plain vs salted two-phase agg
+    from hexspark import cells as hx_cells
+    from hexspark import skew as hx_skew
+
+    tiles_src = pages.withColumn("tile", hx_cells.to_parent("cell", 2))
+    timed(
+        "q8_tile_agg_plain",
+        lambda: tiles_src.groupBy("tile").agg(F.count("*").alias("n")).count(),
+    )
+    timed(
+        "q8_tile_agg_salted",
+        lambda: hx_skew.salted_agg(
+            tiles_src, "tile", 16,
+            [F.count("*").alias("c")],
+            [F.sum("c").alias("n")],
+        ).count(),
+    )
+
     raw.unpersist()
     regions.unpersist()
     return timings, extras

@@ -1,0 +1,86 @@
+"""The resumable end-to-end pipeline driver.
+
+Chains every flagship stage through the Checkpointer so a crashed or
+re-submitted run resumes at the first incomplete stage with full
+per-partition lineage (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics"):
+
+    ingest(pages) ──┬─> quarantine (invalid cells)
+                    └─> encode ─> assign ─> region_counts
+    region build ───────────────────^            tile rollup
+
+Run on a cluster:  spark-submit --py-files dist/hexspark.zip \
+    -c 'from hexspark.pipeline import run_pipeline; ...'
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import build as bx
+from . import cells as cx
+from . import join as jx
+from . import ops
+from .checkpoint import Checkpointer
+from .pages import synth_pages
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    copies: int = 2,
+    page_res: int = 12,
+    tile_res: int = 6,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full spatial pipeline; returns stage outputs."""
+    ck = Checkpointer(spark, work_dir)
+
+    pages = ck.stage(
+        "pages",
+        lambda: synth_pages(spark, sf_dir, copies=copies, res=page_res, with_html=False),
+    )
+
+    # quarantine stage: split valid/invalid probe cells, count both
+    valid = ck.stage(
+        "pages_valid",
+        lambda: pages.filter(cx.is_valid("cell")),
+        inputs=["pages"],
+        quarantine_fn=lambda: pages.filter(~cx.is_valid("cell")),
+    )
+
+    regions = ck.stage("region_map", lambda: ops.region_map(spark))
+
+    assigned = ck.stage(
+        "assigned",
+        lambda: jx.get_auto(
+            valid.select("page_key", "cell", "lang"), regions, probe_col="cell"
+        ),
+        inputs=["pages_valid", "region_map"],
+    )
+
+    counts = ck.stage(
+        "region_counts",
+        lambda: assigned.groupBy("region").agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("lang").alias("n_langs"),
+        ),
+        inputs=["assigned"],
+    )
+
+    tiles = ck.stage(
+        "tile_rollup",
+        lambda: ops.tile_region_rollup(valid, regions, tile_res),
+        inputs=["pages_valid", "region_map"],
+    )
+
+    return {
+        "pages": pages,
+        "valid": valid,
+        "regions": regions,
+        "assigned": assigned,
+        "region_counts": counts,
+        "tile_rollup": tiles,
+        "lineage": ck.lineage(),  # type: ignore[dict-item]
+    }
