@@ -246,15 +246,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (md5-prefix hashes not portable to DuckDB SQL);
-    correctness covered by tests/test_text_dedup.py recall test."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = dd.minhash_signature(docs, num_hashes=16, n=3)
     return dd.lsh_candidates(sigs, bands=4, rows_per_band=4)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check; determinism covered by tests."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.simhash(docs, bits=32)
 
@@ -272,6 +269,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, q, ANN_K, n_centroids=8, nprobe=3).select(
         "query_id", "rank", "vec_id"
     )
+
+
+def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (k-ring disks are generated driver-side);
+    Chebyshev-oracle correctness covered by tests/test_geo.py."""
+    import numpy as np
+
+    from hexspark.geo import grid_encode, grid_encode_np, knn_rings
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lat, lon = synth.latlon_from_key(F.col("c_custkey"))
+    stored = (
+        cust.select(lat.alias("lat"), lon.alias("lon"))
+        .select(grid_encode(F.col("lat"), F.col("lon"), 5).alias("cell"))
+        .distinct()
+    )
+    probe = int(grid_encode_np(np.array([0.0]), np.array([0.0]), 5)[0])
+    return knn_rings(stored, [probe], k=5, max_ring=40)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_ivf": q_ann_ivf,
+        "knn_rings": q_knn_rings,
         "media_features": q_media_features,
     }
 
@@ -343,6 +359,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dd.dd_dedup_exact(),
         "jaccard_pairs": dd.dd_jaccard_pairs(JACCARD_PCT, 3),
         "ann_topk": _ann_oracle(),
-        # minhash_lsh / simhash / media_features: intentionally no
-        # oracle (non-portable hashes / UDF plumbing) → rows-only check
+        "minhash_lsh": dd.dd_lsh_candidates(bands=4, rows_per_band=4, n=3),
+        "simhash": dd.dd_simhash(bits=32),
+        # ann_ivf / media_features: intentionally no oracle (KMeans
+        # centroids / stub-codec UDF aren't SQL-portable) → rows-only
     }

@@ -25,11 +25,14 @@ def _h64(s: Column) -> Column:
 
 
 def dd_h64(s: str) -> str:
-    # DuckDB lacks conv(); use from_hex → bit-string? Simplest portable
-    # route: cast the 15-hex-digit prefix via hugeint arithmetic.
-    # DuckDB 1.0 supports ('0x' || s)::BIGINT? No — use from_hex+decode.
-    # We instead use hash() — NOT portable — so oracle paths avoid dd_h64.
-    raise NotImplementedError
+    """DuckDB twin of :func:`_h64`: parse the 15-hex-char md5 prefix to
+    BIGINT with unrolled strpos arithmetic (all 16^k multipliers are
+    powers of two, so the math is exact)."""
+    terms = [
+        f"((strpos('0123456789abcdef', substr(md5({s}), {i}, 1)) - 1) * {16 ** (15 - i)})"
+        for i in range(1, 16)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -209,9 +212,64 @@ def lsh_candidates(
     )
 
 
+def dd_minhash_signature(num_hashes: int = 16, n: int = 3) -> str:
+    """DuckDB twin of :func:`minhash_signature`."""
+    sh = dd_shingles("text", n)
+    mins = ", ".join(
+        f"MIN({dd_h64(repr(str(i)) + ' || ' + repr('|') + ' || sh')}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+        SELECT id, {mins}
+        FROM (
+            SELECT doc_id AS id, UNNEST(list_distinct({sh})) AS sh
+            FROM documents
+        )
+        GROUP BY id
+    """
+
+
+def dd_lsh_candidates(bands: int = 4, rows_per_band: int = 4, n: int = 3) -> str:
+    """DuckDB twin of minhash signatures → banded candidate pairs."""
+    sig = dd_minhash_signature(bands * rows_per_band, n)
+    pieces = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        pieces.append(f"SELECT id, {b} AS band, {cols} AS bucket FROM sigs")
+    banded = " UNION ALL ".join(pieces)
+    return f"""
+        WITH sigs AS ({sig}), banded AS ({banded})
+        SELECT DISTINCT a.id AS ida, b.id AS idb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
+
+def dd_simhash(bits: int = 32) -> str:
+    """DuckDB twin of :func:`simhash`."""
+    h = dd_h64("tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    pack = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (SELECT id, {h} AS h FROM toks),
+        bitsums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
+        SELECT id, CAST({pack} AS BIGINT) AS simhash FROM bitsums
+    """
+
 
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash: per-token 60-bit md5 hash; signature bit j is the sign
