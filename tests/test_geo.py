@@ -77,6 +77,34 @@ def test_knn_rings(spark):
     assert got.tolist() == want.tolist()
 
 
+def test_knn_pruned_vs_exact(spark):
+    """Cell-pruned kNN == exact kNN when the k nearest share the
+    anchor's coarse cell (the design contract of the scale path)."""
+    from hexspark.geo import knn_join, knn_join_pruned
+
+    pts_lat = RNG.uniform(30.0, 33.0, 500)
+    pts_lon = RNG.uniform(40.0, 43.0, 500)
+    cells = grid_encode_np(pts_lat, pts_lon, 12)
+    points = spark.createDataFrame(
+        [(i, float(a), float(b), int(c)) for i, (a, b, c) in enumerate(zip(pts_lat, pts_lon, cells))],
+        "pid: long, lat: double, lon: double, cell: long",
+    )
+    acell = grid_encode_np(np.array([31.5]), np.array([41.5]), 12)
+    anchors = spark.createDataFrame(
+        [(0, 31.5, 41.5, int(acell[0]))], "anchor_id: long, alat: double, alon: double, acell: long"
+    )
+    exact = {
+        (r["anchor_id"], r["pid"], r["rank"])
+        for r in knn_join(points, anchors, 5).select("anchor_id", "pid", "rank").collect()
+    }
+    pruned = {
+        (r["anchor_id"], r["pid"], r["rank"])
+        for r in knn_join_pruned(points, anchors, 5, prune_res=1)
+        .select("anchor_id", "pid", "rank").collect()
+    }
+    assert pruned == exact  # everything shares the res-1 coarse cell here
+
+
 def test_pip_numpy_vs_column(spark):
     poly = [(25.0, -100.0), (40.0, -95.0), (38.0, -80.0), (28.0, -78.0), (22.0, -90.0)]
     want = point_in_polygon_np(LAT, LON, poly)
