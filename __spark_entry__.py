@@ -103,6 +103,18 @@ def q_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.region_counts(pages, regions)
 
 
+def q_region_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: dedup fingerprints × spatial containment per region."""
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    regions = ops.region_map(spark)
+    slim = pages.select("cell", tx.fingerprint(F.col("text")).alias("fp"))
+    assigned = jx.get_auto(slim, regions, probe_col="cell")
+    return assigned.groupBy("region").agg(
+        F.count_distinct("fp").alias("n_unique_docs"),
+        F.count("*").alias("n_pages"),
+    )
+
+
 def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     return ops.tile_stats(pages, TILE_RES)
@@ -316,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contains": q_contains,
         "get_value": q_get_value,
         "region_counts": q_region_counts,
+        "region_unique_docs": q_region_unique_docs,
         "tile_stats": q_tile_stats,
         "tile_region_rollup": q_tile_region_rollup,
         "subtree_sum": q_subtree_sum,
@@ -343,6 +356,9 @@ def oracle_sql() -> dict[str, str]:
         "contains": oracles.q_contains(),
         "get_value": oracles.q_get_value(),
         "region_counts": oracles.q_region_counts(
+            ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES
+        ),
+        "region_unique_docs": oracles.q_region_unique_docs(
             ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES
         ),
         "tile_stats": oracles.q_tile_stats(COPIES, PAGE_RES, TILE_RES),

@@ -178,6 +178,23 @@ def q_tile_region_rollup(regions: dict, region_res: int, copies: int, page_res: 
     """
 
 
+def q_region_unique_docs(regions: dict, region_res: int, copies: int, page_res: int) -> str:
+    """Composite: dedup (fingerprint) × spatial (region containment)."""
+    from .text import dd_fingerprint
+
+    rc = dd_region_cells_cte(regions, region_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        rcells AS ({rc})
+        SELECT r.region AS region,
+               COUNT(DISTINCT {dd_fingerprint('p.text')}) AS n_unique_docs,
+               COUNT(*) AS n_pages
+        FROM pages p
+        JOIN rcells r ON r.cell = {synth.dd_to_parent('p.cell', region_res)}
+        GROUP BY 1
+    """
+
+
 def q_subtree_sum() -> str:
     reg = f"""
         SELECT {synth.dd_cell_from_key('l_partkey', 8)} AS cell,

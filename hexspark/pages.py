@@ -121,6 +121,7 @@ def dd_pages_cte(copies: int = PAGES_COPIES_DEFAULT, res: int = 12) -> str:
             {key} AS page_key,
             'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(copy AS VARCHAR) AS url,
             lang,
+            text,
             {lat} AS lat,
             {lon} AS lon,
             {cell} AS cell
