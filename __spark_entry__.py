@@ -120,6 +120,27 @@ def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tile_stats(pages, TILE_RES)
 
 
+XYZ_TILE_RES = 4
+
+
+def q_tile_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster export: tile cells as (z, x, y) lattice coordinates."""
+    from hexspark.geo import cell_to_ij
+
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    tiles = pages.groupBy(
+        cx.to_parent("cell", XYZ_TILE_RES).alias("tile")
+    ).agg(F.count("*").alias("n_pages"))
+    x, y = cell_to_ij(F.col("tile"), XYZ_TILE_RES)
+    return tiles.select(
+        F.lit(XYZ_TILE_RES).cast("long").alias("z"),
+        x.alias("x"),
+        y.alias("y"),
+        "tile",
+        "n_pages",
+    )
+
+
 def q_tile_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     regions = ops.region_map(spark)
@@ -330,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_counts": q_region_counts,
         "region_unique_docs": q_region_unique_docs,
         "tile_stats": q_tile_stats,
+        "tile_xyz": q_tile_xyz,
         "tile_region_rollup": q_tile_region_rollup,
         "subtree_sum": q_subtree_sum,
         "knn": q_knn,
@@ -362,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
             ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES
         ),
         "tile_stats": oracles.q_tile_stats(COPIES, PAGE_RES, TILE_RES),
+        "tile_xyz": oracles.q_tile_xyz(COPIES, PAGE_RES, XYZ_TILE_RES),
         "tile_region_rollup": oracles.q_tile_region_rollup(
             ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES, ROLLUP_TILE_RES
         ),

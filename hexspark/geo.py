@@ -385,6 +385,38 @@ def knn_rings(
     )
 
 
+def cell_to_ij(cell: Column, res: int) -> tuple[Column, Column]:
+    """Native-Column lattice coordinates of a res-``res`` grid cell —
+    the raster (z, x, y) export: z=res, x=i, y=j.  Literal-res only
+    (each digit is one shift+mask fold)."""
+    base = cx.base_cell(cell)
+    i = (base % GRID_DIM).cast("long")
+    j = (base / GRID_DIM).cast("long")
+    for lvl in range(1, res + 1):
+        d = cx.digit(cell, lvl)
+        if lvl % 2 == 1:
+            i = i * 7 + d
+        else:
+            j = j * 7 + d
+    return i, j
+
+
+def dd_cell_to_ij(cell: str, res: int) -> tuple[str, str]:
+    """DuckDB SQL twin of :func:`cell_to_ij`."""
+    from . import synth
+
+    base = synth.dd_base(cell)
+    i = f"({base} % {GRID_DIM})"
+    j = f"({base} // {GRID_DIM})"
+    for lvl in range(1, res + 1):
+        d = f"((({cell}) >> {(15 - lvl) * 3}) & 7)"
+        if lvl % 2 == 1:
+            i = f"({i} * 7 + {d})"
+        else:
+            j = f"({j} * 7 + {d})"
+    return i, j
+
+
 # ---------------------------------------------------------------------------
 # distance + kNN
 # ---------------------------------------------------------------------------

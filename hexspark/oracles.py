@@ -159,6 +159,22 @@ def q_tile_stats(copies: int, page_res: int, tile_res: int) -> str:
     """
 
 
+def q_tile_xyz(copies: int, page_res: int, tile_res: int) -> str:
+    from .geo import dd_cell_to_ij
+
+    tile = synth.dd_to_parent("cell", tile_res)
+    i, j = dd_cell_to_ij("tile", tile_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        tiles AS (
+            SELECT {tile} AS tile, COUNT(*) AS n_pages
+            FROM pages GROUP BY 1
+        )
+        SELECT {tile_res} AS z, {i} AS x, {j} AS y, tile, n_pages
+        FROM tiles
+    """
+
+
 def q_tile_region_rollup(regions: dict, region_res: int, copies: int, page_res: int, tile_res: int) -> str:
     rc = dd_region_cells_cte(regions, region_res)
     return f"""

@@ -43,6 +43,18 @@ def test_lattice_roundtrip():
     assert (back == cells).all()
 
 
+def test_cell_to_ij_column_matches_numpy(spark):
+    from hexspark.geo import cell_to_ij
+
+    cells = grid_encode_np(LAT[:100], LON[:100], 7)
+    want_i, want_j, _ = cell_to_ij_np(cells)
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell: long")
+    x, y = cell_to_ij(F.col("cell"), 7)
+    rows = df.select(x.alias("i"), y.alias("j")).collect()
+    assert [r["i"] for r in rows] == want_i.tolist()
+    assert [r["j"] for r in rows] == want_j.tolist()
+
+
 def test_grid_disk_and_ring_distance():
     c = int(grid_encode_np(np.array([10.0]), np.array([20.0]), 6)[0])
     disk1 = grid_disk_np(c, 1)
