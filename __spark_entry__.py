@@ -319,7 +319,7 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     probe = int(grid_encode_np(np.array([0.0]), np.array([0.0]), 5)[0])
-    return knn_rings(stored, [probe], k=5, max_ring=40)
+    return knn_rings(stored, [probe], k=5, max_ring=120)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
