@@ -149,10 +149,10 @@ def main() -> None:
 
 Flagship spatial join (pages geotag → res-12 cell encode → broadcast
 nearest-ancestor containment join vs compacted region map → per-region
-counts), identical input at two parallelism levels, fresh JVM each,
-plan built once per JVM (Catalyst analysis is a fixed driver cost that
-amortizes over a production run; execution time is what scales with
-cluster size).
+counts), identical input at two parallelism levels, fresh JVM per
+config and a fresh query plan per timed round (so no AQE shuffle-stage
+or plan-object reuse inflates the numbers); the workload is sized so
+distributed execution dwarfs fixed driver-side planning.
 
 | config | wall sec (best of {ROUNDS}) | pages/sec |
 |---|---|---|
