@@ -263,6 +263,55 @@ def build_region(
     return compact_df(pruned, cell_col, value_col, compactor)
 
 
+def build_region_local(
+    df: DataFrame,
+    cell_col: str = "cell",
+    value_col: Optional[str] = None,
+    compactor: str = "set",
+    dedupe_policy: str = "min",
+) -> DataFrame:
+    """Driver-side build for broadcast-scale inputs (the common case:
+    region tables are tens of KB..MB by construction).
+
+    Same semantics as :func:`build_region` — validate → dedupe →
+    ancestor-wins → compact — executed in numpy/pandas on the driver
+    in one collect instead of 3-4 tiny distributed stages (saves
+    seconds of fixed stage overhead per build; equivalence is tested
+    against the distributed path on the US915/Monaco fixtures)."""
+    spark = df.sparkSession
+    cols = [cell_col] + ([value_col] if value_col else [])
+    pdf = df.select(*cols).toPandas()
+    cells = pdf[cell_col].to_numpy(dtype=np.int64)
+    ok = cnp.is_valid(cells)
+    pdf = pdf[ok]
+    if value_col:
+        agg = {"min": "min", "max": "max", "sum": "sum", "count": "count",
+               "any": "first"}[dedupe_policy]
+        pdf = pdf.groupby(cell_col, as_index=False)[value_col].agg(agg)
+    else:
+        pdf = pdf[[cell_col]].drop_duplicates()
+    cells = pdf[cell_col].to_numpy(dtype=np.int64)
+    vals = pdf[value_col].to_numpy() if value_col else None
+    # ancestor-wins: sort by (lo, res); a row is covered iff the running
+    # max of hi over preceding rows reaches its own hi
+    lo = cnp.lo(cells)
+    res = cnp.res(cells)
+    hi = cnp.hi(cells)
+    order = np.lexsort((res, lo))
+    hi_s = hi[order]
+    runmax = np.maximum.accumulate(np.concatenate([[np.int64(-1)], hi_s[:-1]]))
+    keep_sorted = runmax < hi_s
+    keep = order[keep_sorted]
+    cells, vals = cells[keep], (vals[keep] if vals is not None else None)
+    out_c, out_v = compact_np(cells, vals, compactor=compactor)
+    if value_col:
+        out = pd.DataFrame({cell_col: out_c, value_col: out_v})
+    else:
+        out = pd.DataFrame({cell_col: out_c})
+    schema = df.select(*cols).schema
+    return spark.createDataFrame(out, schema=schema)
+
+
 def upsert(
     region: DataFrame,
     updates: DataFrame,

@@ -39,7 +39,8 @@ def region_map(spark: SparkSession, res: int = REGION_RES, compact: bool = True)
     for p in parts[1:]:
         df = df.unionByName(p)
     if compact:
-        return bx.build_region(df, value_col="region", compactor="eq")
+        # broadcast-scale by construction → driver-side numpy build
+        return bx.build_region_local(df, value_col="region", compactor="eq")
     return df
 
 

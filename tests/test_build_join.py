@@ -189,6 +189,22 @@ def test_monaco_compaction_and_promoted_get(spark, monaco):
     uncompacted.unpersist()
 
 
+def test_local_build_equals_distributed(spark, us915, monaco):
+    """build_region_local (driver numpy) ≡ build_region (distributed)."""
+    for src, kwargs in [
+        (us915, dict(compactor="set")),
+        (monaco, dict(compactor="set")),
+        (
+            monaco.withColumn("value", (F.col("cell") % 5).cast("long")),
+            dict(value_col="value", compactor="eq", dedupe_policy="min"),
+        ),
+    ]:
+        dist = bx.build_region(src, **kwargs)
+        loc = bx.build_region_local(src, **kwargs)
+        assert dist.exceptAll(loc).count() == 0
+        assert loc.exceptAll(dist).count() == 0
+
+
 def test_monaco_map_values_null_compactor(spark, monaco):
     # NullCompactor map: every inserted cell keeps its own value
     vals = monaco.withColumn("value", F.monotonically_increasing_id())
