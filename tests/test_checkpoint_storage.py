@@ -105,7 +105,7 @@ def test_streaming_windowed_tile_counts(spark, tmp_path):
         .outputMode("append").trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "wckpt")).start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     got = {
         (r["window_start"], r["tile"]): r["n_pages"]
         for r in spark.sql("SELECT * FROM wtiles").collect()
@@ -157,7 +157,7 @@ def test_streaming_region_assign(spark, tmp_path):
     q = st.stream_region_assign(
         stream, regions, str(tmp_path / "ckpt"), sink
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {(r["page_key"], r["region"]) for rows in out.values() for r in rows}
     # batch reference
