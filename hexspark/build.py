@@ -47,8 +47,12 @@ VALUE_POLICIES = ("min", "max", "count", "sum", "any")
 
 
 def validate_cells(df: DataFrame, cell_col: str = "cell") -> tuple[DataFrame, DataFrame]:
-    """Split into (valid, quarantine) on ``Cell::from_raw`` rules."""
-    ok = cx.is_valid(cell_col)
+    """Split into (valid, quarantine) on ``Cell::from_raw`` rules.
+
+    NULL cells are invalid (quarantined): a bare ``filter(~ok)`` would
+    evaluate NULL and drop such rows from *both* outputs, undercounting
+    ``quarantined_rows`` in checkpoint manifests."""
+    ok = F.coalesce(cx.is_valid(cell_col), F.lit(False))
     return df.filter(ok), df.filter(~ok)
 
 
@@ -132,11 +136,15 @@ def compact_np(
             uniq, counts = np.unique(parents, return_counts=True)
             full = uniq[counts == 7]
         else:
+            # all 7 children present AND equal AND non-null: pandas
+            # nunique ignores nulls, so 6-equal+1-null would otherwise
+            # compact and silently overwrite the null leaf (the
+            # reference EqCompactor requires 7 real equal values).
             pdf = pd.DataFrame({"p": parents, "v": vals[at]})
-            g = pdf.groupby("p")["v"].agg(["size", "nunique"])
-            full = g.index[(g["size"] == 7) & (g["nunique"] == 1)].to_numpy(
-                dtype=np.int64
-            )
+            g = pdf.groupby("p")["v"].agg(["size", "nunique", "count"])
+            full = g.index[
+                (g["size"] == 7) & (g["count"] == 7) & (g["nunique"] == 1)
+            ].to_numpy(dtype=np.int64)
         if len(full) == 0:
             continue
         doomed_local = np.isin(parents, full)

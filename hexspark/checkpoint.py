@@ -8,6 +8,13 @@ complete.  No Spark internals — stage boundaries are plain
 ``df.write.parquet``, per-partition metrics come from the Parquet
 footers (zero extra passes), and skipping is a manifest check.
 
+Filesystem access goes through ``pyarrow.fs.FileSystem.from_uri`` so
+checkpoint roots can live on any scheme Spark itself can write
+(``file://``, ``hdfs://``, ``s3://`` with the pyarrow S3 build).
+Manifest completion is write-then-rename; on local/HDFS the rename is
+atomic, on S3 it is copy+delete (last-writer-wins — same caveat as any
+S3 marker file).
+
 Quarantine rows (invalid cells — the ``Error::Index`` analogue,
 /root/reference/src/error.rs:7-10) are counted into the manifest when a
 stage declares them.
@@ -16,32 +23,39 @@ stage declares them.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 from typing import Callable, Optional
 
+import pyarrow.fs as pafs
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_hexspark_manifest.json"
 
 
-def _partition_metrics(spark: SparkSession, path: str) -> list[dict]:
+def _fs_for(root: str) -> tuple[pafs.FileSystem, str]:
+    """Resolve (filesystem, in-fs path) for a path or URI."""
+    return pafs.FileSystem.from_uri(root)
+
+
+def _partition_metrics(fs: pafs.FileSystem, path: str) -> list[dict]:
     """Per-partition lineage from the written Parquet files themselves."""
-    jvm_files = [
-        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
-    ]
-    out = []
     import pyarrow.parquet as pq
 
-    for f in sorted(jvm_files):
-        p = os.path.join(path, f)
-        md = pq.ParquetFile(p).metadata
-        out.append({
-            "file": f,
-            "rows": md.num_rows,
-            "bytes": os.path.getsize(p),
-            "row_groups": md.num_row_groups,
-        })
+    infos = fs.get_file_info(pafs.FileSelector(path, recursive=False))
+    out = []
+    for info in sorted(infos, key=lambda i: i.base_name):
+        f = info.base_name
+        if not f.endswith(".parquet") or f.startswith("_"):
+            continue
+        with fs.open_input_file(info.path) as fh:
+            md = pq.ParquetFile(fh).metadata
+            out.append({
+                "file": f,
+                "rows": md.num_rows,
+                "bytes": info.size,
+                "row_groups": md.num_row_groups,
+            })
     return out
 
 
@@ -55,32 +69,40 @@ class Checkpointer:
 
     A completed stage (manifest present + ``complete``) is *read back*
     instead of recomputed; a crashed run resumes at the first
-    incomplete stage.  Write-then-rename of the manifest makes stage
-    completion atomic at the filesystem level.
+    incomplete stage.  ``root`` may be a plain path or a ``file://`` /
+    ``hdfs://`` / ``s3://`` URI — Spark writes the stage Parquet, and
+    the manifest IO uses the matching pyarrow filesystem.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._fs, self._root_path = _fs_for(root)
+        self._fs.create_dir(self._root_path, recursive=True)
+
+    def _spark_path(self, name: str) -> str:
+        """Path handed to spark.read/write (keeps the caller's scheme)."""
+        return self.root.rstrip("/") + "/" + name
 
     def _paths(self, name: str) -> tuple[str, str]:
-        d = os.path.join(self.root, name)
-        return d, os.path.join(d, MANIFEST)
+        d = posixpath.join(self._root_path, name)
+        return d, posixpath.join(d, MANIFEST)
+
+    def _read_json(self, path: str) -> Optional[dict]:
+        try:
+            with self._fs.open_input_stream(path) as f:
+                return json.loads(f.read().decode("utf-8"))
+        except (FileNotFoundError, OSError):
+            return None
 
     def is_complete(self, name: str) -> bool:
         _, mpath = self._paths(name)
-        if not os.path.exists(mpath):
-            return False
-        with open(mpath) as f:
-            return json.load(f).get("complete", False)
+        man = self._read_json(mpath)
+        return bool(man and man.get("complete", False))
 
     def manifest(self, name: str) -> Optional[dict]:
         _, mpath = self._paths(name)
-        if not os.path.exists(mpath):
-            return None
-        with open(mpath) as f:
-            return json.load(f)
+        return self._read_json(mpath)
 
     def stage(
         self,
@@ -92,17 +114,18 @@ class Checkpointer:
     ) -> DataFrame:
         d, mpath = self._paths(name)
         if self.is_complete(name):
-            return self.spark.read.parquet(d)
+            return self.spark.read.parquet(self._spark_path(name))
         t0 = time.time()
         df = fn()
-        df.write.mode(mode).parquet(d)
-        parts = _partition_metrics(self.spark, d)
+        df.write.mode(mode).parquet(self._spark_path(name))
+        parts = _partition_metrics(self._fs, d)
         quarantined = None
         if quarantine_fn is not None:
-            qd = os.path.join(self.root, f"{name}__quarantine")
+            qname = f"{name}__quarantine"
             qdf = quarantine_fn()
-            qdf.write.mode(mode).parquet(qd)
-            quarantined = sum(m["rows"] for m in _partition_metrics(self.spark, qd))
+            qdf.write.mode(mode).parquet(self._spark_path(qname))
+            qd, _ = self._paths(qname)
+            quarantined = sum(m["rows"] for m in _partition_metrics(self._fs, qd))
         man = {
             "stage": name,
             "inputs": inputs or [],
@@ -116,16 +139,20 @@ class Checkpointer:
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, mpath)  # atomic completion marker
-        return self.spark.read.parquet(d)
+        with self._fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(man, indent=1).encode("utf-8"))
+        self._fs.move(tmp, mpath)  # atomic on local/HDFS; copy+delete on S3
+        return self.spark.read.parquet(self._spark_path(name))
 
     def lineage(self) -> dict[str, dict]:
         """All stage manifests keyed by stage name."""
         out = {}
-        for name in sorted(os.listdir(self.root)):
-            m = self.manifest(name)
-            if m:
-                out[name] = m
+        infos = self._fs.get_file_info(
+            pafs.FileSelector(self._root_path, recursive=False)
+        )
+        for info in sorted(infos, key=lambda i: i.base_name):
+            if info.type == pafs.FileType.Directory:
+                m = self.manifest(info.base_name)
+                if m:
+                    out[info.base_name] = m
         return out

@@ -51,7 +51,9 @@ def extract_text(html: Column) -> Column:
     executor count, partitioning, and batch boundaries.
     """
     s = F.decode(html, "UTF-8")
-    body = F.regexp_extract(s, r"<body><p>(.*)</p></body>", 1)
+    # (?s) = DOTALL: document text may contain newlines; Java regex '.'
+    # does not cross lines by default, which would extract "" silently.
+    body = F.regexp_extract(s, r"(?s)<body><p>(.*)</p></body>", 1)
     return F.replace(
         F.replace(body, F.lit("&lt;"), F.lit("<")), F.lit("&amp;"), F.lit("&")
     )

@@ -270,6 +270,19 @@ def test_eq_compactor(spark):
     assert out2 == 7
 
 
+def test_eq_compactor_null_value_blocks(spark):
+    """Regression: 6 equal + 1 NULL must NOT compact (pandas nunique
+    ignores nulls; the reference EqCompactor needs 7 real equal values)."""
+    parent = int(cnp.make_cell(np.array([51]), np.array([6]),
+                               np.array([K.trailing_mask(6)]))[0])
+    kids = _children_of(parent)
+    rows = [(c, "A" if i < 6 else None) for i, c in enumerate(kids)]
+    df = spark.createDataFrame(rows, "cell: long, v: string")
+    out = bx.build_region(df, value_col="v", compactor="eq").collect()
+    assert len(out) == 7  # unchanged — the null leaf survives
+    assert sum(1 for r in out if r["v"] is None) == 1
+
+
 def test_insert_into_covered_subtree_is_noop(spark):
     # rule 3: coarsest-cell-wins batch policy
     parent = int(cnp.make_cell(np.array([12]), np.array([3]),
@@ -284,6 +297,19 @@ def test_quarantine_invalid(spark):
     df = spark.createDataFrame([(-5,), (0,), (0x85283473FFFFFFF,)], "cell: long")
     valid, bad = bx.validate_cells(df)
     assert valid.count() == 1 and bad.count() == 2
+
+
+def test_quarantine_null_cell(spark):
+    """Regression: NULL cells must route to quarantine, not vanish from
+    both outputs (NULL predicate drops the row from filter(ok) AND
+    filter(~ok))."""
+    df = spark.createDataFrame(
+        [(1, 0x85283473FFFFFFF), (2, None), (3, -5)], "id: long, cell: long"
+    )
+    valid, bad = bx.validate_cells(df)
+    assert valid.count() == 1
+    assert bad.count() == 2  # the NULL row is accounted for
+    assert {r["id"] for r in bad.collect()} == {2, 3}
 
 
 def test_subtree_agg(spark, monaco):

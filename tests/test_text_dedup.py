@@ -146,6 +146,21 @@ def test_extract_text_byte_identical(spark, docs):
     assert m1 == m2 == orig
 
 
+def test_extract_text_multiline(spark):
+    """Regression: text containing newlines must survive extraction —
+    Java regex '.' does not match \\n without (?s), which used to
+    silently extract empty strings."""
+    tricky = spark.createDataFrame(
+        [(1, "line one\nline two\n\nline four"), (2, "a\r\nb"), (3, "trailing\n")],
+        "doc_id: long, text: string",
+    )
+    src = tricky.select(
+        "doc_id", "text", make_html(F.col("text"), F.lit("t")).alias("html")
+    )
+    got = src.select("doc_id", "text", extract_text(F.col("html")).alias("t"))
+    assert got.filter((F.col("t") != F.col("text")) | F.col("t").isNull()).count() == 0
+
+
 def test_extract_text_handles_angle_brackets(spark):
     tricky = spark.createDataFrame(
         [(1, "a < b & c <tag> d"), (2, "<html>nested & stuff</html>")],
