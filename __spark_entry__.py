@@ -24,9 +24,9 @@ from hexspark import join as jx
 from hexspark import ops, oracles, synth
 from hexspark import text as tx
 from hexspark import dedup as dd
-from hexspark.embed import ann_topk_brute, dd_ann_topk_brute
+from hexspark.embed import ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf
 from hexspark.geo import knn_join, pip_column
-from hexspark.multimodal import extract_features, synth_media
+from hexspark.multimodal import dd_media_features, extract_features, synth_media
 from hexspark.pages import synth_pages
 
 COPIES = 2
@@ -289,24 +289,36 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, bits=32)
 
 
+IVF_CENTROIDS = 8
+IVF_NPROBE = 3
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (KMeans centroids aren't SQL-portable); exact
-    equivalence to brute force at nprobe=n_centroids is tested in
-    tests/test_text_dedup.py."""
+    """Oracle-gated IVF ANN: the 'first_k' quantizer is deterministic
+    and SQL-portable, so assignment, probe lists, and re-rank all have
+    DuckDB twins (hexspark.embed.dd_ann_topk_ivf).  The KMeans
+    quantizer stays the production default; its nprobe=all==brute
+    equivalence is tested in tests/test_text_dedup.py."""
     from hexspark.embed import ann_topk_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_topk_ivf(emb, q, ANN_K, n_centroids=8, nprobe=3).select(
-        "query_id", "rank", "vec_id"
-    )
+    return ann_topk_ivf(
+        emb, q, ANN_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        quantizer="first_k",
+    ).select("query_id", "rank", "vec_id")
+
+
+KNN_RINGS_K = 5
+KNN_RINGS_MAX = 120
+KNN_RINGS_RES = 5
 
 
 def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (k-ring disks are generated driver-side);
-    Chebyshev-oracle correctness covered by tests/test_geo.py."""
+    """Oracle-gated ring-metric kNN: Spark-side ring-disk expansion
+    from a probe DataFrame vs the DuckDB Chebyshev-distance twin."""
     import numpy as np
 
     from hexspark.geo import grid_encode, grid_encode_np, knn_rings
@@ -315,16 +327,23 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat, lon = synth.latlon_from_key(F.col("c_custkey"))
     stored = (
         cust.select(lat.alias("lat"), lon.alias("lon"))
-        .select(grid_encode(F.col("lat"), F.col("lon"), 5).alias("cell"))
+        .select(grid_encode(F.col("lat"), F.col("lon"), KNN_RINGS_RES).alias("cell"))
         .distinct()
     )
-    probe = int(grid_encode_np(np.array([0.0]), np.array([0.0]), 5)[0])
-    return knn_rings(stored, [probe], k=5, max_ring=120)
+    probe = int(
+        grid_encode_np(np.array([0.0]), np.array([0.0]), KNN_RINGS_RES)[0]
+    )
+    probes = spark.createDataFrame([(probe,)], "probe: long")
+    return knn_rings(
+        stored, probes, k=KNN_RINGS_K, max_ring=KNN_RINGS_MAX, res=KNN_RINGS_RES
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: multimodal plumbing (binary payload → Arrow-
-    batched feature extraction with a deterministic stub codec)."""
+    """Multimodal plumbing (binary payload → Arrow-batched feature
+    extraction): the SQL-portable columns are oracle-gated; the stub
+    codec's feature vector is covered by a Spark-side determinism test
+    (tests/test_text_dedup.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = synth_media(docs, kind="image")
     return extract_features(media, dim=16).select("media_id", "kind", "n_bytes")
@@ -400,6 +419,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(),
         "minhash_lsh": dd.dd_lsh_candidates(bands=4, rows_per_band=4, n=3),
         "simhash": dd.dd_simhash(bits=32),
-        # ann_ivf / media_features: intentionally no oracle (KMeans
-        # centroids / stub-codec UDF aren't SQL-portable) → rows-only
+        "ann_ivf": (
+            "SELECT query_id, rank, vec_id FROM ("
+            + dd_ann_topk_ivf(ANN_K, ANN_QUERIES, IVF_CENTROIDS, IVF_NPROBE)
+            + ")"
+        ),
+        "knn_rings": oracles.q_knn_rings(
+            KNN_RINGS_K, KNN_RINGS_MAX, KNN_RINGS_RES
+        ),
+        "media_features": dd_media_features(kind="image"),
     }

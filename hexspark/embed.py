@@ -15,7 +15,7 @@ true near-ties, which the round+tiebreak resolves identically.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,24 +44,26 @@ def ann_topk_brute(
     query_key: str = "query_id",
     query_vec: str = "qvec",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus, window top-k.
+    """Exact cosine top-k: broadcast queries × corpus, two-phase top-k.
 
-    The corpus never shuffles except the per-query top-k partial; with
-    Q queries the cross join is a broadcast nested loop whose cost is
-    Q × N vectorized multiplies — the honest baseline to beat."""
+    The corpus never shuffles except the per-query top-k — the
+    two-phase form (hexspark.topk): per-input-partition partial top-k,
+    then a tiny global merge, so no single reducer ever sorts one
+    query's full candidate set.  With Q queries the cross join is a
+    broadcast nested loop whose cost is Q × N vectorized multiplies —
+    the honest baseline to beat."""
+    from .topk import topk_per_key
+
     crossed = corpus.crossJoin(F.broadcast(queries))
     sim = F.round(
         cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
     )
-    w = Window.partitionBy(query_key).orderBy(
-        F.col("sim").desc(), F.col(key_col).asc()
-    )
-    return (
-        crossed.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key, F.col("rank").cast("long").alias("rank"),
-                F.col(key_col), "sim")
+    return topk_per_key(
+        crossed.withColumn("sim", sim),
+        keys=[query_key],
+        order=[-F.col("sim"), F.col(key_col)],
+        payload=[key_col, "sim"],
+        k=k,
     )
 
 
@@ -118,15 +120,38 @@ def ivf_index(
 
 def _nearest_centroids(qvec: Column, centroids: "np.ndarray", nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared L2) as a
-    native expression over centroid literals."""
+    native expression over centroid literals.  Distances round to 6
+    decimals with centroid-id tie-break so the DuckDB twin (same
+    elementwise ops, same order) picks identical lists."""
     dists = []
     for i, c in enumerate(centroids):
         plane = F.array(*[F.lit(float(v)) for v in c])
         diff = F.zip_with(qvec.cast("array<double>"), plane, lambda a, b: (a - b) * (a - b))
-        d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        d = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 6)
         dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     arr = F.array_sort(F.array(*dists))
     return F.slice(arr, 1, nprobe).getField("i")
+
+
+def first_k_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic, SQL-portable coarse quantizer: the centroids are
+    the corpus vectors with the ``n_centroids`` smallest keys (k-means
+    'first-k init', no Lloyd iterations).  Lower list balance than a
+    fitted KMeans, but every step has an exact DuckDB twin
+    (:func:`dd_ann_topk_ivf`), which makes the whole IVF query
+    hash-checkable by the correctness oracle."""
+    rows = (
+        corpus.select(key_col, vec_col)
+        .filter(F.col(key_col) < n_centroids)
+        .orderBy(key_col)
+        .collect()
+    )
+    return np.array([[float(v) for v in r[vec_col]] for r in rows])
 
 
 def ann_topk_ivf(
@@ -139,12 +164,30 @@ def ann_topk_ivf(
     key_col: str = "vec_id",
     query_key: str = "query_id",
     query_vec: str = "qvec",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """IVF ANN: equi-join on centroid id replaces the cross join —
     each query searches only its ``nprobe`` nearest inverted lists
     (~n_centroids/nprobe-fold candidate reduction), exact cosine
-    re-rank inside.  Recall grows with ``nprobe``."""
-    assigned, centroids = ivf_index(corpus, n_centroids, vec_col)
+    re-rank inside (two-phase top-k tail).  Recall grows with
+    ``nprobe``.
+
+    ``quantizer``: 'kmeans' (seeded MLlib fit — best lists, centroids
+    not SQL-portable) or 'first_k' (:func:`first_k_centroids` —
+    deterministic and fully DuckDB-oracle-checkable).  Either way the
+    corpus-side assign is one shuffle-free map over centroid literals."""
+    from .topk import topk_per_key
+
+    if quantizer == "kmeans":
+        assigned, centroids = ivf_index(corpus, n_centroids, vec_col)
+    elif quantizer == "first_k":
+        centroids = first_k_centroids(corpus, n_centroids, vec_col, key_col)
+        assigned = corpus.withColumn(
+            "centroid_id",
+            F.element_at(_nearest_centroids(F.col(vec_col), centroids, 1), 1),
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     q = queries.withColumn(
         "centroid_id",
         F.explode(_nearest_centroids(F.col(query_vec), centroids, nprobe)),
@@ -153,13 +196,83 @@ def ann_topk_ivf(
     sim = F.round(
         cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
     )
-    w = Window.partitionBy(query_key).orderBy(F.col("sim").desc(), F.col(key_col).asc())
-    return (
-        cand.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key, F.col("rank").cast("long").alias("rank"), F.col(key_col), "sim")
+    return topk_per_key(
+        cand.withColumn("sim", sim),
+        keys=[query_key],
+        order=[-F.col("sim"), F.col(key_col)],
+        payload=[key_col, "sim"],
+        k=k,
     )
+
+
+def _dd_sq_dist(a: str, b: str) -> str:
+    """DuckDB elementwise squared-L2 — the exact twin of the Spark
+    ``zip_with``/``aggregate`` form (same per-index ops, same
+    left-to-right summation), rounded to 6 like the Column side."""
+    return (
+        f"ROUND(COALESCE(list_sum(list_transform(list_zip({a}, {b}),"
+        f" x -> (x[1]-x[2])*(x[1]-x[2]))), 0.0), 6)"
+    )
+
+
+def dd_ann_topk_ivf(
+    k: int, n_queries: int, n_centroids: int, nprobe: int
+) -> str:
+    """DuckDB oracle of :func:`ann_topk_ivf` with the 'first_k'
+    quantizer: centroids = embeddings with vec_id < n_centroids,
+    assignment/probe = argmin of the rounded squared-L2 with
+    centroid-id tie-break, exact rounded-cosine re-rank."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < {n_centroids}
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {_dd_sq_dist('e.vec', 'c.cvec')} ASC, c.cid ASC
+                       ) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < {n_queries}),
+        qprobe AS (
+            SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {_dd_sq_dist('q.qvec', 'c.cvec')} ASC, c.cid ASC
+                       ) AS rn
+                FROM q, c
+            ) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+            SELECT qp.query_id, a.vec_id
+            FROM qprobe qp JOIN assign a ON a.cid = qp.cid
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   ROUND(
+                     list_dot_product(e.vec, q.qvec)
+                     / (sqrt(list_dot_product(e.vec, e.vec))
+                      * sqrt(list_dot_product(q.qvec, q.qvec))),
+                     6
+                   ) AS sim
+            FROM cand
+            JOIN e ON e.vec_id = cand.vec_id
+            JOIN q ON q.query_id = cand.query_id
+        )
+        SELECT query_id, rank, vec_id, sim FROM (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def hyperplane_signatures(
@@ -206,6 +319,8 @@ def ann_topk_lsh(
     tests measure it against the brute baseline — raise ``n_tables``
     (more recall, more candidates) or ``n_planes`` (fewer candidates,
     less recall) to tune."""
+    from .topk import topk_per_key
+
     c = hyperplane_signatures(corpus, dim, n_planes, n_tables, vec_col=vec_col)
     q = hyperplane_signatures(queries, dim, n_planes, n_tables, vec_col=query_vec)
     cand = (
@@ -216,10 +331,10 @@ def ann_topk_lsh(
     sim = F.round(
         cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
     )
-    w = Window.partitionBy(query_key).orderBy(F.col("sim").desc(), F.col(key_col).asc())
-    return (
-        cand.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key, F.col("rank").cast("long").alias("rank"), F.col(key_col), "sim")
+    return topk_per_key(
+        cand.withColumn("sim", sim),
+        keys=[query_key],
+        order=[-F.col("sim"), F.col(key_col)],
+        payload=[key_col, "sim"],
+        k=k,
     )

@@ -24,7 +24,7 @@ import math
 from typing import Optional, Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import cells as cx
@@ -354,34 +354,89 @@ def grid_ring_distance_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(np.abs(ia - ib), np.abs(ja - jb))
 
 
+def ij_to_cell(i: Column, j: Column, res: int) -> Column:
+    """Native-Column inverse of :func:`cell_to_ij`: lattice coords →
+    res-``res`` grid cell (same alternating digit interleave as
+    :func:`ij_to_cell_np`).  Literal-res only."""
+    xl, yl = _axis_levels(res)
+    bi = F.floor(i / F.lit(float(7**xl))).cast("long")
+    bj = F.floor(j / F.lit(float(7**yl))).cast("long")
+    base = bj * GRID_DIM + bi
+    digits = F.lit(K.trailing_mask(res)).cast("long")
+    xi = yi = 0
+    for lvl in range(1, res + 1):
+        if lvl % 2 == 1:
+            xi += 1
+            d = (F.floor(i / F.lit(float(7 ** (xl - xi)))) % 7).cast("long")
+        else:
+            yi += 1
+            d = (F.floor(j / F.lit(float(7 ** (yl - yi)))) % 7).cast("long")
+        digits = digits + d * F.lit(1 << ((K.MAX_RES - lvl) * K.DIGIT_BITS))
+    return cx.make_cell(base, F.lit(res).cast("long"), digits)
+
+
 def knn_rings(
     stored: DataFrame,
-    probes: list[int],
+    probes,
     k: int,
     max_ring: int = 8,
     cell_col: str = "cell",
+    probe_col: str = "probe",
+    res: Optional[int] = None,
 ) -> DataFrame:
-    """J7 kNN, reference recipe: explode each probe's k-ring disks,
+    """J7 kNN, reference recipe: expand each probe's k-ring disks,
     broadcast-join against the stored cell set, rank by ring then cell.
 
     Exact for ring-metric kNN whenever k neighbors exist within
-    ``max_ring`` (widen otherwise).  The stored side is the big table —
-    the tiny exploded probe rings broadcast."""
+    ``max_ring`` (widen otherwise).  ``probes`` is a DataFrame with a
+    ``probe_col`` cell column (a python list of cells is accepted and
+    wrapped).  The ring disks are generated *Spark-side*: decode each
+    probe to lattice coords (native Columns), cross the ±max_ring
+    offset sequences, re-encode — no driver loop, so a probe *table*
+    works; the stored side (the big table) never shuffles, the tiny
+    (probes × (2R+1)²)-row disk relation broadcasts.  The final
+    per-probe rank is the two-phase top-k (hexspark.topk) — no global
+    per-probe window sort."""
+    from .topk import topk_per_key
+
     spark = stored.sparkSession
-    rows = []
-    for p in probes:
-        disk = grid_disk_np(int(p), max_ring)
-        rings = grid_ring_distance_np(
-            disk, np.full(len(disk), p, dtype=np.int64)
+    if isinstance(probes, (list, tuple)):
+        probes = spark.createDataFrame(
+            [(int(p),) for p in probes], f"{probe_col}: long"
         )
-        rows += [(int(p), int(c), int(r)) for c, r in zip(disk, rings)]
-    ring_df = spark.createDataFrame(rows, "probe: long, cell: long, ring: long")
+    if res is None:
+        res = int(probes.select(cx.res(probe_col).alias("r")).first()["r"])
+    xl, yl = _axis_levels(res)
+    ni, nj = GRID_DIM * 7**xl, GRID_DIM * 7**yl
+    pi, pj = cell_to_ij(F.col(probe_col), res)
+    offs = F.sequence(F.lit(-max_ring), F.lit(max_ring))
+    ring_df = (
+        probes.select(probe_col, pi.alias("__pi"), pj.alias("__pj"))
+        .withColumn("__di", F.explode(offs))
+        .withColumn("__dj", F.explode(offs))
+        .select(
+            F.col(probe_col),
+            (F.col("__pi") + F.col("__di")).alias("__i"),
+            (F.col("__pj") + F.col("__dj")).alias("__j"),
+            F.greatest(F.abs("__di"), F.abs("__dj")).cast("long").alias("ring"),
+        )
+        .filter(
+            (F.col("__i") >= 0) & (F.col("__i") < ni)
+            & (F.col("__j") >= 0) & (F.col("__j") < nj)
+        )
+        .select(
+            probe_col,
+            ij_to_cell(F.col("__i"), F.col("__j"), res).alias(cell_col),
+            "ring",
+        )
+    )
     joined = stored.join(F.broadcast(ring_df), on=cell_col, how="inner")
-    w = Window.partitionBy("probe").orderBy(F.col("ring").asc(), F.col(cell_col).asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe", "rank", F.col(cell_col), "ring")
+    return topk_per_key(
+        joined,
+        keys=[probe_col],
+        order=[F.col("ring"), F.col(cell_col)],
+        payload=[cell_col, "ring"],
+        k=k,
     )
 
 
@@ -450,26 +505,31 @@ def knn_join(
     """Exact kNN: for each anchor, the k nearest points.
 
     Broadcast the (small) anchor table against the (huge) points table —
-    the points side never shuffles except the final per-anchor top-k,
-    which is a partial ``Window`` aggregation AQE handles well.  Ties
-    break deterministically by the point's natural column order.
-    Returns points columns + anchor key + ``dist`` + ``rank``.
+    the points side never shuffles except the two-phase per-anchor
+    top-k (hexspark.topk): per-input-partition partial top-k, then a
+    tiny global merge — never a single reducer sorting all candidates
+    for one anchor.  Ties break deterministically by the point's
+    natural column order.  Returns anchor key + ``rank`` + points
+    columns + ``dist``.
 
     Scale path: pre-filter candidates by shared coarse cell prefix
     (see :func:`knn_join_pruned`) before the exact ranking.
     """
+    from .topk import topk_per_key
+
     plat, plon = point_cols
     alat, alon = anchor_cols
     dist_fn = sq_dist if metric == "sq" else haversine_km
     crossed = points.crossJoin(F.broadcast(anchors))
     d = dist_fn(F.col(plat), F.col(plon), F.col(alat), F.col(alon))
-    w = Window.partitionBy(anchor_key).orderBy(
-        F.col("dist").asc(), *[F.col(c).asc() for c in points.columns]
-    )
-    return (
-        crossed.withColumn("dist", d)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    scored = crossed.withColumn("dist", d)
+    payload = [c for c in scored.columns if c != anchor_key]
+    return topk_per_key(
+        scored,
+        keys=[anchor_key],
+        order=[F.col("dist"), *[F.col(c) for c in points.columns]],
+        payload=payload,
+        k=k,
     )
 
 
@@ -494,6 +554,8 @@ def knn_join_pruned(
     bucket boundaries: exact iff the true k nearest share the anchor's
     coarse cell (recall is measured by tests, widen ``prune_res``
     downward to trade cost for recall)."""
+    from .topk import topk_per_key
+
     plat, plon = point_cols
     alat, alon = anchor_cols
     a = anchors.withColumn("__coarse", cx.to_parent(anchor_cell_col, prune_res))
@@ -501,11 +563,12 @@ def knn_join_pruned(
     cand = p.join(F.broadcast(a), on="__coarse", how="inner").drop("__coarse")
     dist_fn = sq_dist if metric == "sq" else haversine_km
     d = dist_fn(F.col(plat), F.col(plon), F.col(alat), F.col(alon))
-    w = Window.partitionBy(anchor_key).orderBy(
-        F.col("dist").asc(), *[F.col(c).asc() for c in points.columns]
-    )
-    return (
-        cand.withColumn("dist", d)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    scored = cand.withColumn("dist", d)
+    payload = [c for c in scored.columns if c != anchor_key]
+    return topk_per_key(
+        scored,
+        keys=[anchor_key],
+        order=[F.col("dist"), *[F.col(c) for c in points.columns]],
+        payload=payload,
+        k=k,
     )

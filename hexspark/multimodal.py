@@ -85,6 +85,20 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+def dd_media_features(kind: str = "image") -> str:
+    """DuckDB oracle for the SQL-portable columns of
+    ``extract_features(synth_media(documents))``: identity, kind, and
+    payload byte length ('FAKE0' header + UTF-8 text bytes).  The
+    feature vector itself is the stub codec's output — covered by the
+    Spark-side determinism test instead (tests/test_text_dedup.py)."""
+    return f"""
+        SELECT '{kind}-' || CAST(doc_id AS VARCHAR) AS media_id,
+               '{kind}' AS kind,
+               CAST(5 + octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents
+    """
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     timestamp (payload decode stubbed; timestamps computed natively)."""

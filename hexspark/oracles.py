@@ -315,6 +315,36 @@ def q_text_features() -> str:
     """
 
 
+def q_knn_rings(k: int, max_ring: int, res: int) -> str:
+    """Ring-metric kNN oracle: stored = distinct grid cells of customer
+    points, probe = the (0, 0) cell; ring = lattice Chebyshev distance
+    via the :func:`hexspark.geo.dd_cell_to_ij` twin — equivalent by
+    definition to the engine's k-ring-disk expansion + join."""
+    import numpy as np
+
+    from .geo import cell_to_ij_np, dd_cell_to_ij, dd_grid_encode, grid_encode_np
+
+    probe = int(grid_encode_np(np.array([0.0]), np.array([0.0]), res)[0])
+    pi, pj, _ = cell_to_ij_np(np.array([probe], dtype=np.int64))
+    lat, lon = synth.dd_latlon_from_key("c_custkey")
+    cell = dd_grid_encode(lat, lon, res)
+    i, j = dd_cell_to_ij("cell", res)
+    return f"""
+        WITH stored AS (SELECT DISTINCT {cell} AS cell FROM customer),
+        scored AS (
+            SELECT cell,
+                   GREATEST(ABS({i} - {int(pi[0])}), ABS({j} - {int(pj[0])})) AS ring
+            FROM stored
+        ),
+        ranked AS (
+            SELECT cell, ring, ROW_NUMBER() OVER (ORDER BY ring, cell) AS rank
+            FROM scored WHERE ring <= {max_ring}
+        )
+        SELECT CAST({probe} AS BIGINT) AS probe, rank, cell, ring
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_point_in_polygon(regions: dict, copies: int) -> str:
     pip = pip_sql_predicate("lat", "lon", regions["alpha"])
     return f"""

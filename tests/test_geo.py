@@ -89,6 +89,44 @@ def test_knn_rings(spark):
     assert got.tolist() == want.tolist()
 
 
+def test_knn_rings_probe_table(spark):
+    """Probe-DataFrame path: rings generated Spark-side (no driver
+    loop) for several probes at once; each probe's result must match
+    the numpy Chebyshev oracle."""
+    pts_lat = RNG.uniform(-8, 8, 600)
+    pts_lon = RNG.uniform(-8, 8, 600)
+    cells = np.unique(grid_encode_np(pts_lat, pts_lon, 5))
+    stored = spark.createDataFrame([(int(c),) for c in cells], "cell: long")
+    probe_pts = [(0.0, 0.0), (3.0, -2.0), (-5.0, 6.0)]
+    probes_np = grid_encode_np(
+        np.array([p[0] for p in probe_pts]), np.array([p[1] for p in probe_pts]), 5
+    )
+    probes = spark.createDataFrame([(int(p),) for p in probes_np], "probe: long")
+    out = knn_rings(stored, probes, k=4, max_ring=40, res=5)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe"], []).append((r["rank"], r["cell"], r["ring"]))
+    for p in probes_np:
+        dd = grid_ring_distance_np(cells, np.full(len(cells), p, dtype=np.int64))
+        order = np.lexsort((cells, dd))
+        want = [(rk + 1, int(cells[order[rk]]), int(dd[order[rk]])) for rk in range(4)]
+        assert sorted(by_probe[int(p)]) == want, int(p)
+
+
+def test_ij_to_cell_column_matches_numpy(spark):
+    from hexspark.geo import ij_to_cell
+
+    cells = grid_encode_np(LAT[:100], LON[:100], 7)
+    i, j, _ = cell_to_ij_np(cells)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(i, j)], "i: long, j: long"
+    )
+    got = [r["c"] for r in df.select(ij_to_cell(F.col("i"), F.col("j"), 7).alias("c")).collect()]
+    assert got == cells.tolist()
+
+
 def test_knn_pruned_vs_exact(spark):
     """Cell-pruned kNN == exact kNN when the k nearest share the
     anchor's coarse cell (the design contract of the scale path)."""

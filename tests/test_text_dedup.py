@@ -102,6 +102,15 @@ def test_ann_ivf_recall(spark, sf_dir):
     }
     assert all((i, i) in part for i in range(10))
     assert len(truth & part) / len(truth) >= 0.5
+    # first_k quantizer (the SQL-portable oracle path): exhaustive
+    # probing must also equal brute force exactly
+    full_fk = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_topk_ivf(
+            emb, q, 5, n_centroids=8, nprobe=8, quantizer="first_k"
+        ).collect()
+    }
+    assert full_fk == truth
 
 
 def test_media_feature_plumbing(spark, docs):
