@@ -24,7 +24,9 @@ from hexspark import join as jx
 from hexspark import ops, oracles, synth
 from hexspark import text as tx
 from hexspark import dedup as dd
-from hexspark.embed import ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf
+from hexspark.embed import (
+    ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf, dd_embedding_dups,
+)
 from hexspark.geo import knn_join, pip_column
 from hexspark.multimodal import dd_media_features, extract_features, synth_media
 from hexspark.pages import synth_pages
@@ -339,6 +341,22 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the synthetic embeddings have no planted duplicates (max pairwise
+# cosine ~0.51), so the contract query mines the top similarity band;
+# the LSH scale path's recall on true near-dups (sim>=0.9) is measured
+# in tests with planted perturbed copies
+DUP_THRESHOLD = 0.35
+
+
+def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine similarity-pair mining (exact form — the LSH
+    scale path's recall is measured against it in tests)."""
+    from hexspark.embed import embedding_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dups(emb, DUP_THRESHOLD, dim=64, exact=True)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (binary payload → Arrow-batched feature
     extraction): the SQL-portable columns are oracle-gated; the stub
@@ -387,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "knn_rings": q_knn_rings,
         "media_features": q_media_features,
+        "embed_dups": q_embed_dups,
     }
 
 
@@ -428,4 +447,5 @@ def oracle_sql() -> dict[str, str]:
             KNN_RINGS_K, KNN_RINGS_MAX, KNN_RINGS_RES
         ),
         "media_features": dd_media_features(kind="image"),
+        "embed_dups": dd_embedding_dups(DUP_THRESHOLD),
     }

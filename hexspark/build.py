@@ -327,6 +327,8 @@ def upsert(
     value_col: str = "value",
     mode: str = "or_insert",
     compactor: str = "none",
+    modify_fn=None,
+    insert_vacant: bool = True,
 ) -> DataFrame:
     """Read-modify-write upsert — the ``entry()`` API re-expressed
     (/root/reference/src/entry.rs:59-182) as join + rebuild.
@@ -336,14 +338,51 @@ def upsert(
       mirrors ``entry(c).or_insert(v)``: inserting under a covering
       leaf is a no-op (rule 3), inserting at a stored leaf keeps it.
     * ``overwrite``    — update wins at exact cells; new cells insert
-      (``and_modify``-style whole-value replacement).
+      (whole-value replacement).
+    * ``and_modify``   — ``entry(c).and_modify(f).or_insert(v)``
+      (/root/reference/src/entry.rs:59-95): where the update's cell
+      *resolves* (exact leaf or covering ancestor — the occupied
+      entry), apply ``modify_fn(actual_cell, value)`` to the stored
+      leaf's value; vacant updates insert their own value (suppress
+      with ``insert_vacant=False`` for a pure ``and_modify``).  Batch
+      semantics: a leaf touched by one or more update rows has ``f``
+      applied once (set-oriented twin of the per-call doctest; pass a
+      count-aware fn over ``overwrite`` mode for per-hit arithmetic).
 
-    Both then re-run the ancestor-wins + compaction pipeline so the
+    All modes re-run the ancestor-wins + compaction pipeline so the
     result is again a canonical compacted table.
     """
     from . import join as jx
 
-    if mode == "or_insert":
+    if mode == "and_modify":
+        if modify_fn is None:
+            raise ValueError("and_modify requires modify_fn(cell, value) -> Column")
+        probed = jx.probe_indexed(
+            updates.select(cell_col, value_col), region, probe_col=cell_col,
+            region_col=cell_col, stored_col="__hit",
+        )
+        vacant = probed.filter(F.col("__hit").isNull()).drop("__hit")
+        touched = (
+            probed.filter(F.col("__hit").isNotNull())
+            .select(F.col("__hit").alias("__touched"))
+            .distinct()
+        )
+        reg = region.select(cell_col, value_col).join(
+            F.broadcast(touched),
+            F.col(cell_col) == F.col("__touched"),
+            "left",
+        )
+        modified = reg.select(
+            F.col(cell_col),
+            F.when(
+                F.col("__touched").isNotNull(),
+                modify_fn(F.col(cell_col), F.col(value_col)),
+            )
+            .otherwise(F.col(value_col))
+            .alias(value_col),
+        )
+        merged = modified.unionByName(vacant) if insert_vacant else modified
+    elif mode == "or_insert":
         # drop updates already covered by (ancestor-or-self) leaves
         probed = jx.probe_indexed(
             updates.select(cell_col, value_col), region, probe_col=cell_col,

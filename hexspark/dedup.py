@@ -181,11 +181,17 @@ def lsh_candidates(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """Band the signature columns and bucket-join: pairs sharing any
     band are candidates.  The classic MinHash-LSH join — band hash is
     the shuffle key; at scale each band join is an equi-join Catalyst
-    broadcasts or shuffles with AQE skew splitting."""
+    broadcasts or shuffles with AQE skew splitting.
+
+    The banded relation feeds *both* sides of the self-join, and its
+    lineage includes the whole minhash pipeline (shingle explode +
+    groupBy) — ``cache=True`` persists it so that pipeline runs once,
+    not twice (MEMORY_AND_DISK; Spark evicts under pressure)."""
     pieces = []
     for b in range(bands):
         cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -199,6 +205,10 @@ def lsh_candidates(
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.unionByName(p)
+    if cache:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -205,6 +205,80 @@ def ann_topk_ivf(
     )
 
 
+def embedding_dups(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (ida, idb, sim) with
+    ``sim >= threshold`` and ``ida < idb``.
+
+    Scale path (default): hyperplane-LSH buckets prune the self-join —
+    only bucket-sharing pairs get the exact rounded-cosine re-check
+    (recall < 1 by design, measured by tests).  ``exact=True`` runs the
+    all-pairs form — the DuckDB-oracle twin (:func:`dd_embedding_dups`)
+    and the honest baseline the LSH recall is measured against."""
+    if exact:
+        a = corpus.select(
+            F.col(key_col).alias("ida"),
+            F.col(vec_col).cast("array<double>").alias("__va"),
+        )
+        b = corpus.select(
+            F.col(key_col).alias("idb"),
+            F.col(vec_col).cast("array<double>").alias("__vb"),
+        )
+        cand = a.join(b, F.col("ida") < F.col("idb"))
+    else:
+        sigs = hyperplane_signatures(corpus, dim, n_planes, n_tables, vec_col=vec_col)
+        sa = sigs.select(
+            "bucket", F.col(key_col).alias("ida"),
+            F.col(vec_col).cast("array<double>").alias("__va"),
+        )
+        sb = sigs.select(
+            "bucket", F.col(key_col).alias("idb"),
+            F.col(vec_col).cast("array<double>").alias("__vb"),
+        )
+        cand = (
+            sa.join(sb, on="bucket").filter(F.col("ida") < F.col("idb"))
+            .drop("bucket")
+            .dropDuplicates(["ida", "idb"])
+        )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("ida", "idb", "sim")
+    )
+
+
+def dd_embedding_dups(threshold: float) -> str:
+    """DuckDB twin of the exact form of :func:`embedding_dups`."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        )
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               ROUND(
+                 list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))),
+                 6
+               ) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND(
+                list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                 * sqrt(list_dot_product(b.vec, b.vec))),
+                6
+              ) >= {threshold}
+    """
+
+
 def _dd_sq_dist(a: str, b: str) -> str:
     """DuckDB elementwise squared-L2 — the exact twin of the Spark
     ``zip_with``/``aggregate`` form (same per-index ops, same

@@ -196,6 +196,7 @@ def polyfill(
     spark,
     polygon: Sequence[tuple[float, float]],
     res: int,
+    flat_budget: int = 65536,
 ) -> DataFrame:
     """Vector→raster: all res-``res`` grid cells whose centroid lies in
     the polygon (the reference tests use ContainsCentroid polyfill,
@@ -204,12 +205,17 @@ def polyfill(
     Strategy: enumerate candidate cell centers over the polygon's
     bounding box at the res-``res`` grid pitch *as a DataFrame range*
     (distributed, no driver materialization), PIP-filter, encode.
-    """
+    When the bbox enumeration would exceed ``flat_budget`` candidates
+    (fine res over a large polygon), dispatch to the coarse-to-fine
+    :func:`polyfill_hier`, whose cost is bounded by boundary length
+    instead of area — same output set (tested)."""
     lats = [p[0] for p in polygon]
     lons = [p[1] for p in polygon]
     # grid pitch at res: x-axis refined ceil(res/2) times, y floor(res/2)
     px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
     py = 180.0 / (GRID_DIM * 7 ** (res // 2))
+    if ((max(lats) - min(lats)) / py + 2) * ((max(lons) - min(lons)) / px + 2) > flat_budget:
+        return polyfill_hier(spark, polygon, res)
     lat0 = math.floor((min(lats) + 90.0) / py) * py - 90.0
     lon0 = math.floor((min(lons) + 180.0) / px) * px - 180.0
     ny = int(math.ceil((max(lats) - lat0) / py)) + 1
@@ -228,36 +234,197 @@ def polyfill(
     )
 
 
+def _segment_intersects_rect(
+    x1: float, y1: float, x2: float, y2: float,
+    xmin: Column, xmax: Column, ymin: Column, ymax: Column,
+) -> Column:
+    """Liang-Barsky: does the literal segment (x1,y1)→(x2,y2) intersect
+    the per-row axis-aligned rectangle?  The segment endpoints are plan
+    literals (polygon edges), so the sign branches resolve in Python
+    and the Column expression is pure min/max/compare arithmetic.
+    Segments fully inside the rectangle intersect (clip non-empty)."""
+    dx, dy = x2 - x1, y2 - y1
+    enters = [F.lit(0.0)]
+    exits = [F.lit(1.0)]
+    parallel_ok = []
+    if dx == 0:
+        parallel_ok.append((F.lit(x1) >= xmin) & (F.lit(x1) <= xmax))
+    else:
+        t1 = (xmin - F.lit(x1)) / F.lit(dx)
+        t2 = (xmax - F.lit(x1)) / F.lit(dx)
+        if dx < 0:
+            t1, t2 = t2, t1
+        enters.append(t1)
+        exits.append(t2)
+    if dy == 0:
+        parallel_ok.append((F.lit(y1) >= ymin) & (F.lit(y1) <= ymax))
+    else:
+        t1 = (ymin - F.lit(y1)) / F.lit(dy)
+        t2 = (ymax - F.lit(y1)) / F.lit(dy)
+        if dy < 0:
+            t1, t2 = t2, t1
+        enters.append(t1)
+        exits.append(t2)
+    hit = F.greatest(*enters) <= F.least(*exits) if len(enters) > 1 else F.lit(True)
+    for c in parallel_ok:
+        hit = hit & c
+    return hit
+
+
+def _polygon_crosses_rect(
+    polygon: Sequence[tuple[float, float]],
+    xmin: Column, xmax: Column, ymin: Column, ymax: Column,
+) -> Column:
+    """OR of edge-rectangle intersections over the polygon's (literal)
+    edges — true iff the polygon boundary touches the rectangle."""
+    hit = F.lit(False)
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        hit = hit | _segment_intersects_rect(x1, y1, x2, y2, xmin, xmax, ymin, ymax)
+    return hit
+
+
+def _cell_rect(res: int) -> tuple[Column, Column, Column, Column]:
+    """(lonmin, lonmax, latmin, latmax) rectangle of the grid cell in
+    column ``cell`` at literal res (derived from lattice coords)."""
+    xl, yl = _axis_levels(res)
+    px = 360.0 / (GRID_DIM * 7**xl)
+    py = 180.0 / (GRID_DIM * 7**yl)
+    i, j = cell_to_ij(F.col("cell"), res)
+    lonmin = F.lit(-180.0) + i * px
+    latmin = F.lit(-90.0) + j * py
+    return lonmin, lonmin + px, latmin, latmin + py
+
+
+def polyfill_hier(
+    spark,
+    polygon: Sequence[tuple[float, float]],
+    res: int,
+    coarse_budget: int = 4096,
+) -> DataFrame:
+    """Coarse-to-fine polyfill — identical output to the flat
+    :func:`polyfill` but candidates bounded by *boundary length*, not
+    bbox area: a res-12 continent never enumerates ~10^12 centers.
+
+    Per level: a candidate cell whose rectangle lies fully inside the
+    polygon (all 4 corners inside, no polygon edge intersects — exact,
+    Liang-Barsky over literal edges) is emitted as a whole subtree;
+    fully-outside rectangles prune; only *boundary* cells refine to
+    their 7 children.  At the target res, boundary cells take the
+    ContainsCentroid test.  Inside-subtrees uncompact to ``res`` at the
+    end (the descendants' centroids are inside by rectangle
+    containment, so the set equals the flat enumeration — tested)."""
+    from . import build as bx
+
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    # coarsest start res whose bbox enumeration fits the budget
+    r0 = res
+    for r in range(res + 1):
+        xl, yl = _axis_levels(r)
+        px = 360.0 / (GRID_DIM * 7**xl)
+        py = 180.0 / (GRID_DIM * 7**yl)
+        nx = int(math.ceil((max(lons) - min(lons)) / px)) + 2
+        ny = int(math.ceil((max(lats) - min(lats)) / py)) + 2
+        if nx * ny > coarse_budget:
+            r0 = max(r - 1, 0)
+            break
+    else:
+        r0 = res
+    # bbox candidates at r0 (tiny by construction)
+    xl, yl = _axis_levels(r0)
+    px = 360.0 / (GRID_DIM * 7**xl)
+    py = 180.0 / (GRID_DIM * 7**yl)
+    lat0 = math.floor((min(lats) + 90.0) / py) * py - 90.0
+    lon0 = math.floor((min(lons) + 180.0) / px) * px - 180.0
+    ny = int(math.ceil((max(lats) - lat0) / py)) + 1
+    nx = int(math.ceil((max(lons) - lon0) / px)) + 1
+    cur = (
+        spark.range(ny * nx)
+        .select(
+            (F.lit(lat0) + (F.floor(F.col("id") / nx) + 0.5) * py).alias("lat"),
+            (F.lit(lon0) + (F.col("id") % nx + 0.5) * px).alias("lon"),
+        )
+        .select(grid_encode(F.col("lat"), F.col("lon"), r0).alias("cell"))
+        .distinct()
+    )
+    inside_acc: list[DataFrame] = []
+    for r in range(r0, res):
+        xmin, xmax, ymin, ymax = _cell_rect(r)
+        corners = (
+            pip_column(ymin, xmin, polygon).cast("int")
+            + pip_column(ymin, xmax, polygon).cast("int")
+            + pip_column(ymax, xmin, polygon).cast("int")
+            + pip_column(ymax, xmax, polygon).cast("int")
+        )
+        crossed = _polygon_crosses_rect(polygon, xmin, xmax, ymin, ymax)
+        tagged = cur.select(
+            "cell",
+            ((corners == 4) & ~crossed).alias("__in"),
+            ((corners == 0) & ~crossed).alias("__out"),
+        ).persist()
+        inside_acc.append(tagged.filter(F.col("__in")).select("cell"))
+        boundary = tagged.filter(~F.col("__in") & ~F.col("__out")).select("cell")
+        cur = bx.uncompact_df(boundary, r + 1)
+    # target res: boundary cells take the centroid test
+    xl, yl = _axis_levels(res)
+    px = 360.0 / (GRID_DIM * 7**xl)
+    py = 180.0 / (GRID_DIM * 7**yl)
+    xmin, _, ymin, _ = _cell_rect(res)
+    centroid_in = pip_column(ymin + py / 2.0, xmin + px / 2.0, polygon)
+    parts = [cur.filter(centroid_in).select("cell")]
+    for ins in inside_acc:
+        parts.append(bx.uncompact_df(ins, res))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 # ---------------------------------------------------------------------------
 # real-H3 encoder (gated on the h3 python lib; production geometry path)
 # ---------------------------------------------------------------------------
 
+def _h3_encode_batch(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """One Arrow batch through real-H3 ``latlng_to_cell``.
+
+    Prefers the broadcasting numpy-int API (one C call per batch);
+    builds whose ``latlng_to_cell`` is scalar-only raise TypeError on
+    array input and fall back to a per-element loop *inside the batch*
+    (still amortized by Arrow transfer).  Returns int64 cells (the
+    engine's sign-safe representation — H3 indexes never set bit 63)."""
+    from h3.api import numpy_int as h3n
+
+    try:
+        cells = h3n.latlng_to_cell(lat, lon, res)
+    except TypeError:  # scalar-only build
+        cells = np.array(
+            [h3n.latlng_to_cell(float(a), float(b), res) for a, b in zip(lat, lon)],
+            dtype=np.uint64,
+        )
+    return np.asarray(cells, dtype=np.uint64).astype(np.int64)
+
+
 def h3_encode_udf(res: int):
     """Vectorized real-H3 ``latlng_to_cell`` pandas UDF (J5) — the
-    production encoder when the ``h3`` lib is installed.  Uses the
-    numpy int-vector API (h3>=4 ``latlng_to_cell`` broadcasting /
-    h3.api.numpy_int), never per-row Python.  In this sandbox the lib
-    is absent; tests skip, the deterministic GridEncoder covers the
-    pipeline."""
-    if not HAS_H3:  # pragma: no cover
+    production encoder when the ``h3`` lib is installed (the reference
+    consumes the same geometry via h3o dev-deps,
+    /root/reference/tests/tests.rs:39-41).  The batch kernel is
+    :func:`_h3_encode_batch`; this sandbox has no real ``h3``, so tests
+    execute the path through a deterministic shim package
+    (tests/fake_libs/h3) and the GridEncoder covers the pipeline."""
+    if not HAS_H3:
         raise ImportError("h3 python library not available; use grid_encode")
-    import pandas as pd  # pragma: no cover
-    from pyspark.sql.functions import pandas_udf  # pragma: no cover
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")  # pragma: no cover
-    def _enc(lat: "pd.Series", lon: "pd.Series") -> "pd.Series":
-        try:
-            from h3.api import numpy_int as h3n
-            cells = h3n.latlng_to_cell(lat.to_numpy(), lon.to_numpy(), res)
-        except TypeError:  # non-broadcasting builds: chunked fallback
-            from h3.api import numpy_int as h3n
-            cells = np.array(
-                [h3n.latlng_to_cell(a, b, res) for a, b in zip(lat, lon)],
-                dtype=np.uint64,
-            )
-        return pd.Series(cells.astype(np.int64))
+    @pandas_udf("long")
+    def _enc(lat, lon):
+        return pd.Series(_h3_encode_batch(lat.to_numpy(), lon.to_numpy(), res))
 
-    return _enc  # pragma: no cover
+    return _enc
 
 
 # ---------------------------------------------------------------------------

@@ -57,9 +57,22 @@ def ancestors_array(cell_col: str, res_list: Optional[list[int]] = None) -> F.Co
 
 
 def region_res_set(region: DataFrame, region_col: str = "cell") -> list[int]:
-    """Distinct leaf resolutions in a region table (tiny driver fetch)."""
+    """Distinct leaf resolutions in a region table (tiny driver fetch,
+    memoized on the DataFrame object — repeated lookups against one
+    region table plan no extra driver jobs)."""
+    memo = getattr(region, "_hexspark_res_set", None)
+    if isinstance(memo, dict) and region_col in memo:
+        return memo[region_col]
     rows = region.select(cx.res(region_col).alias("r")).distinct().collect()
-    return sorted(int(r["r"]) for r in rows)
+    rs = sorted(int(r["r"]) for r in rows)
+    try:
+        if not isinstance(memo, dict):
+            memo = {}
+            region._hexspark_res_set = memo
+        memo[region_col] = rs
+    except AttributeError:  # slotted/frozen DataFrame impls: skip memo
+        pass
+    return rs
 
 
 def contains_explode(
@@ -231,6 +244,14 @@ def probe_indexed(
         los, his, cells_sorted = d["los"], d["his"], d["cells"]
         for pdf in batches:
             qi = pdf[qcol].to_numpy(dtype=np.int64)
+            if len(los) == 0:  # empty region: nothing is covered
+                covered = np.zeros(len(qi), dtype=bool)
+                stored = np.zeros(len(qi), dtype=np.int64)
+                out = pdf.drop(columns=[qcol])
+                out[stored_col] = pd.array(stored, dtype="Int64")
+                out.loc[:, stored_col] = pd.NA
+                yield out
+                continue
             valid = cnp.is_valid(qi)
             plo = cnp.lo(qi)
             phi = cnp.hi(qi)

@@ -27,19 +27,44 @@ from pyspark.sql import functions as F
 from . import cells as cx
 
 
-def write_region(df: DataFrame, path: str, cell_col: str = "cell") -> None:
+def write_region(
+    df: DataFrame, path: str, cell_col: str = "cell", n_files: int = 1
+) -> None:
     """Persist a compacted region table sorted by subtree range-start.
 
-    Single file per base-cell bucket would be overkill for broadcast-
-    scale tables; one sorted file preserves global iteration order and
-    maximizes row-group pruning on the range key."""
-    (
-        df.withColumn("__lo", cx.lo(cell_col))
-        .repartition(1)
-        .sortWithinPartitions("__lo")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    ``n_files=1`` (default, right for broadcast-scale tables): one
+    sorted file — global iteration order, maximal row-group pruning on
+    the range key.  For large maps pass ``n_files > 1``: a range
+    repartition on ``__lo`` keeps files disjoint and internally sorted
+    (iteration order = file order; ``descendants`` range scans prune to
+    one file + row group), written by ``n_files`` parallel tasks
+    instead of a single writer."""
+    keyed = df.withColumn("__lo", cx.lo(cell_col))
+    if n_files <= 1:
+        keyed = keyed.repartition(1).sortWithinPartitions("__lo")
+    else:
+        keyed = keyed.repartitionByRange(n_files, "__lo").sortWithinPartitions("__lo")
+    keyed.write.mode("overwrite").parquet(path)
+
+
+def write_region_iceberg(
+    df: DataFrame, table: str, cell_col: str = "cell"
+) -> None:
+    """S4 sink, Iceberg flavor (north_rule: Iceberg-style tables):
+    ``df.writeTo(table).using('iceberg')`` sorted by ``lo`` for range
+    pruning.  Requires an Iceberg catalog on the session
+    (spark.sql.catalog.* confs + iceberg-spark-runtime jar) — absent
+    here, this raises with guidance rather than writing a plain table
+    silently."""
+    keyed = df.withColumn("__lo", cx.lo(cell_col)).sortWithinPartitions("__lo")
+    try:
+        keyed.writeTo(table).using("iceberg").createOrReplace()
+    except Exception as e:  # catalog/jar missing
+        raise RuntimeError(
+            "Iceberg write failed — configure an Iceberg catalog "
+            "(spark.sql.catalog.<name> + iceberg-spark-runtime) or use "
+            "write_region() for plain Parquet"
+        ) from e
 
 
 def read_region(spark: SparkSession, path: str, ordered: bool = False) -> DataFrame:

@@ -76,6 +76,38 @@ def test_storage_roundtrip_and_iteration_order(spark, monaco, tmp_path):
     ).count() == 0
 
 
+def test_storage_multifile_region_sink(spark, monaco, tmp_path):
+    """n_files>1: range-partitioned sorted files — same content, files
+    disjoint on lo (iteration order = file order), parallel writers."""
+    import glob
+
+    built = bx.build_region(monaco, compactor="set")
+    path = str(tmp_path / "monaco_multi")
+    storage.write_region(built, path, n_files=4)
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    back = storage.read_region(spark, path)
+    assert back.select("cell").exceptAll(built.select("cell")).count() == 0
+    assert built.select("cell").exceptAll(back.select("cell")).count() == 0
+    # per-file lo ranges are disjoint and internally sorted
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["__lo"])
+        los = np.array(t["__lo"], dtype=np.int64)
+        if len(los):
+            assert (np.diff(los) > 0).all()
+            ranges.append((los[0], los[-1]))
+    for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
+        assert b1 < a2
+
+
+def test_iceberg_sink_gated(spark, monaco):
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        storage.write_region_iceberg(monaco, "local.db.monaco")
+
+
 def test_h3idx_and_kepler_roundtrip(spark, monaco, tmp_path):
     p1 = str(tmp_path / "cells.h3idx")
     storage.write_h3idx(monaco, p1)

@@ -1,0 +1,140 @@
+"""DiskTree binary-format codec: byte goldens, roundtrip, get parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hexspark import build as bx
+from hexspark import cells_np as cnp
+from hexspark import constants as K
+from hexspark import join as jx
+from hexspark.disktree import (
+    DPTR_SZ, HDR_MAGIC, NUM_BASE, de_i64, disktree_get, iter_disktree,
+    read_disktree, ser_i64, ser_unit, varint_read, varint_write,
+    write_disktree,
+)
+from hexspark.fixtures import ensure_fixtures
+
+
+@pytest.fixture(scope="module")
+def monaco(spark):
+    return spark.read.parquet(ensure_fixtures()["monaco_res12"]).cache()
+
+
+def test_varint_roundtrip():
+    for v in [0, 1, 0x3F, 0x40, 0x1FFF, 0x2000, 0xF_FFFF, 0x10_0000,
+              0x7FF_FFFF]:
+        b = varint_write(v)
+        got, n = varint_read(b, 0)
+        assert (got, n) == (v, len(b)), v
+        assert not b[0] & 0x80  # never collides with the parent tag
+    with pytest.raises(ValueError):
+        varint_write(0x800_0000)
+
+
+def test_single_leaf_byte_golden(tmp_path):
+    """Hand-derived bytes from the published format
+    (writer.rs:46-64 + varint.rs:13-18 + dptr.rs:14-41): a res-0 leaf
+    at base 0 with i64 value 7."""
+    res0_base0 = int(
+        cnp.make_cell(
+            np.array([0]), np.array([0]), np.array([K.trailing_mask(0)])
+        )[0]
+    )
+    p = str(tmp_path / "one.disktree")
+    write_disktree([(res0_base0, 7)], p, value_ser=ser_i64)
+    buf = open(p, "rb").read()
+    hdr = len(HDR_MAGIC) + 1
+    node_pos = hdr + DPTR_SZ * NUM_BASE  # 9 + 610 = 619
+    expect = bytearray()
+    expect += HDR_MAGIC
+    expect.append(0xFE)  # version 0 stored as 0xFE - 0
+    expect += node_pos.to_bytes(5, "little")  # base 0 dptr
+    expect += b"\x00" * (5 * (NUM_BASE - 1))  # other bases absent
+    expect.append(8 | 0x40)  # varint(8): 1-byte form 01xx_xxxx
+    expect += (7).to_bytes(8, "little", signed=True)
+    assert buf == bytes(expect)
+    # and it reads back
+    assert list(iter_disktree(p)) == [(res0_base0, 7)]
+
+
+def test_parent_tag_layout(tmp_path):
+    """Tag byte: bit d = child digit d present, bit 7 sentinel
+    (writer.rs:94-121)."""
+    parent = int(cnp.make_cell(np.array([3]), np.array([2]),
+                               np.array([K.trailing_mask(2)]))[0])
+
+    def children_of(p):
+        p = np.int64(p)
+        r = int(cnp.res(np.array([p]))[0]) + 1
+        shift = (K.MAX_RES - r) * K.DIGIT_BITS
+        bumped = (p & ~np.int64(K.RES_MASK)) | np.int64(r << K.RES_OFFSET)
+        return [int(bumped - ((7 - d) << shift)) for d in range(7)]
+
+    kids = children_of(parent)
+    picked = [kids[1], kids[4]]  # digits 1 and 4 at level 3... of res-3
+    p = str(tmp_path / "two.disktree")
+    write_disktree([(c, i) for i, c in enumerate(picked)], p)
+    buf = open(p, "rb").read()
+    hdr = len(HDR_MAGIC) + 1
+    # descend: base 3 → res-1 node → res-2 node → res-3 leaves
+    pos = int.from_bytes(buf[hdr + 5 * 3 : hdr + 5 * 3 + 5], "little")
+    # walk down two parent levels (digit path of `parent` at res 2)
+    for lvl in (1, 2):
+        tag = buf[pos]
+        assert tag & 0x80
+        d = (parent >> ((15 - lvl) * 3)) & 0x7
+        assert (tag >> d) & 1
+        skip = bin(tag & ((1 << d) - 1)).count("1")
+        pos = int.from_bytes(
+            buf[pos + 1 + 5 * skip : pos + 1 + 5 * skip + 5], "little"
+        )
+    tag = buf[pos]
+    assert tag == 0b1000_0000 | (1 << 1) | (1 << 4)  # children 1 and 4
+
+
+def test_monaco_roundtrip_and_get_parity(spark, monaco, tmp_path):
+    vals = monaco.withColumn("value", (F.col("cell") % 1000).cast("long"))
+    built = bx.build_region(vals, value_col="value", compactor="none").cache()
+    pairs = [(r["cell"], r["value"]) for r in built.collect()]
+    p = str(tmp_path / "monaco.disktree")
+    write_disktree(pairs, p, value_ser=ser_i64)
+    back = list(iter_disktree(p, de_i64))
+    assert sorted(back) == sorted(pairs)
+    # DFS file order == ascending lo (reference iteration parity)
+    cells_in_order = np.array([c for c, _ in back], dtype=np.int64)
+    assert (np.diff(cnp.lo(cells_in_order)) > 0).all()
+    # random-access get == DataFrame join lookup, incl. promoted hits
+    buf = open(p, "rb").read()
+    want_map = dict(pairs)
+    # FIXTURES.md golden probes: monaco_point_1 hits via res-9 parent,
+    # monaco_point_2 misses
+    hit = disktree_get(buf, 0x8C3969A41DA15FF)
+    assert hit is not None and int(
+        cnp.res(np.array([hit[0]], dtype=np.int64))[0]
+    ) == 9
+    assert disktree_get(buf, 0x8C3969A415065FF) is None
+    probes = [r["cell"] for r in monaco.limit(50).collect()]
+    df_got = {
+        r["probe"]: (r["stored_cell"], r["value"])
+        for r in jx.get_indexed(
+            spark.createDataFrame([(c,) for c in probes], "probe: long"),
+            built, probe_col="probe",
+        ).collect()
+    }
+    for c in probes:
+        got = disktree_get(buf, c)
+        assert got == df_got.get(c, None) or (got is None and c not in df_got)
+    # DataFrame source form
+    df = read_disktree(spark, p)
+    assert df.count() == len(pairs)
+
+
+def test_set_roundtrip_zero_len_values(spark, monaco, tmp_path):
+    built = bx.build_region(monaco, compactor="set")
+    pairs = [(r["cell"], None) for r in built.collect()]
+    p = str(tmp_path / "set.disktree")
+    write_disktree(pairs, p, value_ser=ser_unit)
+    back = list(iter_disktree(p, value_de=None))
+    assert sorted(c for c, _ in back) == sorted(c for c, _ in pairs)
+    assert all(v == b"" for _, v in back)

@@ -155,6 +155,46 @@ def test_knn_pruned_vs_exact(spark):
     assert pruned == exact  # everything shares the res-1 coarse cell here
 
 
+def test_polyfill_hier_equals_flat(spark):
+    """Coarse-to-fine refinement must produce exactly the flat
+    centroid-containment enumeration."""
+    from hexspark.geo import polyfill_hier
+
+    cases = [
+        ([(25.0, -100.0), (40.0, -95.0), (38.0, -80.0), (28.0, -78.0), (22.0, -90.0)], 4),
+        ([(10.0, 10.0), (20.0, 10.0), (20.0, 25.0), (10.0, 25.0)], 4),  # rectangle
+        ([(-35.0, 120.0), (-18.0, 125.0), (-15.0, 140.0), (-30.0, 150.0), (-38.0, 135.0)], 5),
+    ]
+    for poly, res in cases:
+        flat = {r["cell"] for r in polyfill(spark, poly, res, flat_budget=10**9).collect()}
+        hier = {
+            r["cell"]
+            for r in polyfill_hier(spark, poly, res, coarse_budget=256).collect()
+        }
+        assert hier == flat, (poly[0], res, len(hier), len(flat))
+
+
+def test_polyfill_fine_res_bounded(spark):
+    """A res-8 polyfill of a country-scale polygon must work through
+    the hierarchical path (the flat bbox would enumerate ~10^7
+    candidates above the auto-dispatch budget) with interior points
+    covered and exterior points absent."""
+    poly = [(30.0, -10.0), (45.0, -5.0), (44.0, 15.0), (32.0, 12.0)]
+    res = 8
+    out = polyfill(spark, poly, res).cache()  # auto-dispatches to hier
+    n = out.count()
+    assert n > 30000
+    cells = np.array([r["cell"] for r in out.collect()], dtype=np.int64)
+    assert (cnp.res(cells) == res).all()
+    sl = RNG.uniform(35, 42, 50)
+    sn = RNG.uniform(-2, 8, 50)
+    assert np.isin(grid_encode_np(sl, sn, res), cells).all()  # interior
+    xl_ = RNG.uniform(-60, -40, 50)
+    xn = RNG.uniform(100, 140, 50)
+    assert not np.isin(grid_encode_np(xl_, xn, res), cells).any()  # exterior
+    out.unpersist()
+
+
 def test_pip_numpy_vs_column(spark):
     poly = [(25.0, -100.0), (40.0, -95.0), (38.0, -80.0), (28.0, -78.0), (22.0, -90.0)]
     want = point_in_polygon_np(LAT, LON, poly)

@@ -113,6 +113,42 @@ def test_ann_ivf_recall(spark, sf_dir):
     assert full_fk == truth
 
 
+def test_embedding_dups_lsh_recall(spark, sf_dir):
+    """LSH-pruned near-dup pairs vs the exact all-pairs baseline on a
+    corpus with PLANTED near-duplicates (the natural embeddings table
+    has none — max pairwise cosine ~0.5): no false positives ever
+    (exact re-check inside buckets), recall ≥ 0.8 at sim ≥ 0.9."""
+    import numpy as np
+
+    from hexspark.embed import embedding_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.limit(100).collect()
+    rng = np.random.default_rng(5)
+    planted = spark.createDataFrame(
+        [
+            (
+                int(r["vec_id"]) + 100000,
+                [float(v + 0.02 * e) for v, e in zip(r["embedding"], rng.standard_normal(64))],
+            )
+            for r in rows
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted).cache()
+    exact = {
+        (r["ida"], r["idb"])
+        for r in embedding_dups(corpus, 0.9, dim=64, exact=True).collect()
+    }
+    assert len(exact) >= 80  # the planted pairs dominate
+    lsh = {
+        (r["ida"], r["idb"])
+        for r in embedding_dups(corpus, 0.9, dim=64, n_planes=8, n_tables=4).collect()
+    }
+    assert lsh <= exact  # never a false positive
+    assert len(lsh) / len(exact) >= 0.8, f"recall {len(lsh)}/{len(exact)}"
+
+
 def test_media_feature_plumbing(spark, docs):
     media = synth_media(docs.limit(50), kind="image")
     feats = extract_features(media, dim=16).collect()

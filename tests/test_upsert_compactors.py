@@ -46,6 +46,46 @@ def test_upsert_overwrite_at_exact_cell(spark):
     assert got == {a: "new", b: "keep"}
 
 
+def test_upsert_and_modify_doctest(spark):
+    """Mirror of the reference and_modify doctest
+    (/root/reference/src/entry.rs:40-58): first call inserts the
+    default ('France' — and_modify is a no-op on vacant); the second
+    call's and_modify fires on the now-occupied entry ('Paris')."""
+    target = mk(15, 12)
+    empty = spark.createDataFrame([], "cell: long, value: string")
+    updates = spark.createDataFrame([(target, "France")], "cell: long, value: string")
+    set_paris = lambda cell, v: F.lit("Paris")  # noqa: E731
+    once = bx.upsert(empty, updates, mode="and_modify", modify_fn=set_paris)
+    got1 = {r["cell"]: r["value"] for r in once.collect()}
+    assert got1 == {target: "France"}
+    twice = bx.upsert(once, updates, mode="and_modify", modify_fn=set_paris)
+    got2 = {r["cell"]: r["value"] for r in twice.collect()}
+    assert got2 == {target: "Paris"}
+
+
+def test_upsert_and_modify_promoted_ancestor(spark):
+    """and_modify applies f to the *resolving* leaf — a covering
+    ancestor counts as occupied (entry.rs: OccupiedEntry carries the
+    actual stored cell, which may be coarser than the target)."""
+    parent = mk(12, 3)
+    kid = children_of(parent)[2]
+    other = mk(13, 9)
+    region = spark.createDataFrame(
+        [(parent, "P"), (other, "O")], "cell: long, value: string"
+    )
+    updates = spark.createDataFrame([(kid, "ignored")], "cell: long, value: string")
+    bump = lambda cell, v: F.concat(v, F.lit("!"))  # noqa: E731
+    out = bx.upsert(region, updates, mode="and_modify", modify_fn=bump).collect()
+    got = {r["cell"]: r["value"] for r in out}
+    assert got == {parent: "P!", other: "O"}  # ancestor modified, rest untouched
+    # pure and_modify (no or_insert): vacant update is a no-op
+    vac = spark.createDataFrame([(mk(14, 5), "new")], "cell: long, value: string")
+    out2 = bx.upsert(
+        region, vac, mode="and_modify", modify_fn=bump, insert_vacant=False
+    ).collect()
+    assert {r["cell"]: r["value"] for r in out2} == {parent: "P", other: "O"}
+
+
 def test_custom_compactor_trait(spark):
     """User compactor: coalesce when >= 5 children present, value =
     sum of child values (something neither set nor eq expresses)."""
