@@ -60,9 +60,8 @@ def run(spark) -> tuple[dict, dict]:
     dim = docs.select("doc_id", "lang")
     # shuffle-free parallel synthesis: partitioned range spine +
     # broadcast-joined doc attributes
-    # cores*8 task grain: smooths the end-of-stage straggler tail
     raw = (
-        spark.range(0, n_docs * COPIES, 1, int(CPUS) * 8)
+        spark.range(0, n_docs * COPIES, 1, int(CPUS) * 2)
         .select(F.col("id").alias("page_key"), (F.col("id") % n_docs).alias("doc_id"))
         .join(F.broadcast(dim), on="doc_id")
         .drop("doc_id")
@@ -165,10 +164,11 @@ def run(spark) -> tuple[dict, dict]:
 
 
 def main() -> None:
+    # NOTE: the ParallelGC+32g combo that helps bench_scaling's
+    # persist-free worker REGRESSES this suite 2-4x (it caches `raw`;
+    # measured q2_explode 7.2s -> 64.7s) — keep the default G1/8g here.
     spark = get_spark("hexspark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(int(CPUS), 8),
-                      extra_conf={"spark.driver.memory": "32g",
-                                  "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"})
+                      shuffle_partitions=max(int(CPUS), 8))
     spark.sparkContext.setLogLevel("ERROR")
     try:
         timings, extras = run(spark)
