@@ -339,6 +339,12 @@ def upsert(
       leaf is a no-op (rule 3), inserting at a stored leaf keeps it.
     * ``overwrite``    — update wins at exact cells; new cells insert
       (whole-value replacement).
+    * ``or_insert_with`` — ``entry(c).or_insert_with(f)``
+      (/root/reference/src/entry.rs:118-147): vacant rows insert
+      ``modify_fn(cell)``; occupied rows untouched.
+    * ``or_default``   — ``entry(c).or_default()``
+      (/root/reference/src/entry.rs:149-182): vacant rows insert the
+      type default (NULL, or ``modify_fn``'s value if given).
     * ``and_modify``   — ``entry(c).and_modify(f).or_insert(v)``
       (/root/reference/src/entry.rs:59-95): where the update's cell
       *resolves* (exact leaf or covering ancestor — the occupied
@@ -353,6 +359,26 @@ def upsert(
     result is again a canonical compacted table.
     """
     from . import join as jx
+
+    if mode == "or_insert_with":
+        # entry.rs:118-147 — lazy default; in batch form the default
+        # expression is a Column fn of the target cell, evaluated only
+        # for vacant rows (Spark is lazy anyway, so this is exact)
+        if modify_fn is None:
+            raise ValueError("or_insert_with requires modify_fn(cell) -> Column")
+        updates = updates.select(
+            F.col(cell_col), modify_fn(F.col(cell_col)).alias(value_col)
+        )
+        mode = "or_insert"
+    elif mode == "or_default":
+        # entry.rs:149-182 — or_insert_with(V::default): vacant rows
+        # insert the value column's type default (NULL in SQL terms;
+        # pass modify_fn to pin a concrete zero value)
+        fn = modify_fn or (lambda _c: F.lit(None))
+        updates = updates.select(
+            F.col(cell_col), fn(F.col(cell_col)).alias(value_col)
+        )
+        mode = "or_insert"
 
     if mode == "and_modify":
         if modify_fn is None:

@@ -57,6 +57,62 @@ def stream_region_assign(
     )
 
 
+def stateful_tile_totals(
+    stream: DataFrame,
+    tile_res: int = 4,
+    res: int = 12,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-tile RUNNING totals + first/last event time, carried across
+    micro-batches in Spark state — something stateless foreachBatch or
+    a windowed agg cannot express (the running total spans windows).
+
+    Emits one updated row per (tile, micro-batch): ``tile,
+    total_pages, first_ts, last_ts`` where ``total_pages`` accumulates
+    over the whole stream.  State is per tile (bounded by the tile
+    count at ``tile_res``), timestamps stored as epoch seconds."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import cells as cx
+
+    encoded = encode_stream(stream, res)
+    tiles = encoded.select(
+        cx.to_parent("cell", tile_res).alias("tile"),
+        F.col("warc_ts").cast("long").alias("ts"),
+    )
+
+    def fn(key, pdfs, state: "GroupState"):
+        if state.exists:
+            total, first_ts, last_ts = state.get
+        else:
+            total, first_ts, last_ts = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            total += len(pdf)
+            mn, mx = int(pdf["ts"].min()), int(pdf["ts"].max())
+            first_ts = mn if first_ts is None else min(first_ts, mn)
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((total, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "tile": [key[0]],
+                "total_pages": [total],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return tiles.groupBy("tile").applyInPandasWithState(
+        fn,
+        outputStructType="tile LONG, total_pages LONG, first_ts LONG, last_ts LONG",
+        stateStructType="total LONG, first_ts LONG, last_ts LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_page_counts(
     stream: DataFrame,
     watermark: str = "10 minutes",

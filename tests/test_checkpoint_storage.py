@@ -159,6 +159,66 @@ def test_streaming_windowed_tile_counts(spark, tmp_path):
     assert all(want.get(k) == v for k, v in got.items())
 
 
+def test_streaming_stateful_tile_totals(spark, tmp_path):
+    """applyInPandasWithState: running per-tile totals must carry state
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces one batch per
+    file) and converge to the batch groupBy counts."""
+    from hexspark import cells as cx
+    from hexspark import streaming as st
+
+    src_dir = str(tmp_path / "ssrc")
+    # two appended files sharing locations (page_key = id % 200, so the
+    # same geotag keys appear in both micro-batches) → the running
+    # total must accumulate across batches
+    pages = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 200).alias("page_key"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 7).alias("warc_ts"),
+    ).cache()
+    cols = ["page_key", "warc_ts"]
+    pages.filter(F.col("id") < 500).select(cols).coalesce(1).write.mode("append").parquet(src_dir)
+    pages.filter(F.col("id") >= 500).select(cols).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("page_key long, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    totals = st.stateful_tile_totals(stream, tile_res=2)
+    q = (
+        totals.writeStream.format("memory").queryName("stiles")
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sckpt")).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM stiles").collect()
+    assert rows
+    # final state per tile = the max running total emitted
+    final = {}
+    emitted = {}
+    for r in rows:
+        final[r["tile"]] = max(final.get(r["tile"], 0), r["total_pages"])
+        emitted[r["tile"]] = emitted.get(r["tile"], 0) + 1
+    batch = (
+        st.encode_stream(spark.read.parquet(src_dir), 12)
+        .groupBy(cx.to_parent("cell", 2).alias("tile"))
+        .agg(F.count("*").alias("n"),
+             F.min(F.col("warc_ts").cast("long")).alias("mn"),
+             F.max(F.col("warc_ts").cast("long")).alias("mx"))
+    )
+    want = {r["tile"]: (r["n"], r["mn"], r["mx"]) for r in batch.collect()}
+    assert final == {t: v[0] for t, v in want.items()}
+    # state genuinely carried across micro-batches: at least one tile
+    # was updated in both batches (emitted twice with growing total)
+    assert any(n >= 2 for n in emitted.values())
+    # first/last event times from the last emission match the batch
+    last_by_tile = {}
+    for r in rows:
+        if r["total_pages"] == final[r["tile"]]:
+            last_by_tile[r["tile"]] = (r["first_ts"], r["last_ts"])
+    for t, (n, mn, mx) in want.items():
+        assert last_by_tile[t] == (mn, mx), t
+
+
 def test_streaming_region_assign(spark, tmp_path):
     """availableNow micro-batch run of the streaming pipeline over a
     file source; results must equal the batch pipeline on the same rows."""

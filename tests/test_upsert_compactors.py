@@ -86,6 +86,25 @@ def test_upsert_and_modify_promoted_ancestor(spark):
     assert {r["cell"]: r["value"] for r in out2} == {parent: "P", other: "O"}
 
 
+def test_upsert_or_insert_with_and_or_default(spark):
+    """entry.rs:118-182: or_insert_with computes the default from the
+    target cell, only for vacant entries; or_default inserts the type
+    default."""
+    a, b = mk(10, 3), mk(11, 3)
+    region = spark.createDataFrame([(a, 100)], "cell: long, value: long")
+    updates = spark.createDataFrame([(a, 0), (b, 0)], "cell: long, value: long")
+    out = bx.upsert(
+        region, updates, mode="or_insert_with",
+        modify_fn=lambda cell: (cell % 7).cast("long"),
+    ).collect()
+    got = {r["cell"]: r["value"] for r in out}
+    assert got[a] == 100  # occupied untouched
+    assert got[b] == b % 7  # vacant computed from its own cell
+    out2 = bx.upsert(region, updates, mode="or_default").collect()
+    got2 = {r["cell"]: r["value"] for r in out2}
+    assert got2 == {a: 100, b: None}
+
+
 def test_custom_compactor_trait(spark):
     """User compactor: coalesce when >= 5 children present, value =
     sum of child values (something neither set nor eq expresses)."""
