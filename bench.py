@@ -158,6 +158,43 @@ def run(spark) -> tuple[dict, dict]:
         ).count(),
     )
 
+    # q9: ring-metric kNN, probe table (Spark-side ring generation)
+    import numpy as np
+
+    from hexspark.geo import grid_encode, grid_encode_np, knn_rings
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    clat, clon = synth.latlon_from_key(F.col("c_custkey"))
+    stored = (
+        cust.select(clat.alias("lat"), clon.alias("lon"))
+        .select(grid_encode(F.col("lat"), F.col("lon"), 5).alias("cell"))
+        .distinct()
+    )
+    pk = np.arange(20, dtype=np.int64) * 977
+    plat, plon = (pk % 140) - 70.0, (pk % 320) - 160.0
+    probes = spark.createDataFrame(
+        [(int(c),) for c in np.unique(grid_encode_np(plat.astype(float), plon.astype(float), 5))],
+        "probe: long",
+    )
+    timed(
+        "q9_knn_rings",
+        lambda: knn_rings(stored, probes, k=5, max_ring=60, res=5).count(),
+    )
+
+    # q10: hierarchical polyfill, country-scale at res 7
+    from hexspark.geo import polyfill_hier
+
+    poly = [(30.0, -10.0), (45.0, -5.0), (44.0, 15.0), (32.0, 12.0)]
+    timed("q10_polyfill_hier", lambda: polyfill_hier(spark, poly, 7).count())
+
+    # q11: embedding near-dup mining, LSH-pruned scale path
+    from hexspark.embed import embedding_dups
+
+    timed(
+        "q11_embed_dups_lsh",
+        lambda: embedding_dups(emb, 0.3, dim=64, n_planes=8, n_tables=4).count(),
+    )
+
     raw.unpersist()
     regions.unpersist()
     return timings, extras

@@ -286,16 +286,22 @@ def _polygon_crosses_rect(
     return hit
 
 
-def _cell_rect(res: int) -> tuple[Column, Column, Column, Column]:
-    """(lonmin, lonmax, latmin, latmax) rectangle of the grid cell in
-    column ``cell`` at literal res (derived from lattice coords)."""
+def _cell_rect_df(cur: DataFrame, res: int) -> tuple[DataFrame, float, float]:
+    """Project the cell rectangle's (xmin, ymin) ONCE per level and
+    persist — a plan barrier.  Without it every corner-PIP / edge-
+    crossing reference re-inlines the whole ``cell_to_ij`` subtree
+    (Catalyst's CollapseProject duplicates it ~30×) and the classify
+    step costs ~20s of analysis/codegen per level on 7k rows."""
     xl, yl = _axis_levels(res)
     px = 360.0 / (GRID_DIM * 7**xl)
     py = 180.0 / (GRID_DIM * 7**yl)
     i, j = cell_to_ij(F.col("cell"), res)
-    lonmin = F.lit(-180.0) + i * px
-    latmin = F.lit(-90.0) + j * py
-    return lonmin, lonmin + px, latmin, latmin + py
+    rect = cur.select(
+        "cell",
+        (F.lit(-180.0) + i * px).alias("__xmin"),
+        (F.lit(-90.0) + j * py).alias("__ymin"),
+    ).persist()
+    return rect, px, py
 
 
 def polyfill_hier(
@@ -352,7 +358,9 @@ def polyfill_hier(
     )
     inside_acc: list[DataFrame] = []
     for r in range(r0, res):
-        xmin, xmax, ymin, ymax = _cell_rect(r)
+        rect, px, py = _cell_rect_df(cur, r)
+        xmin, ymin = F.col("__xmin"), F.col("__ymin")
+        xmax, ymax = xmin + px, ymin + py
         corners = (
             pip_column(ymin, xmin, polygon).cast("int")
             + pip_column(ymin, xmax, polygon).cast("int")
@@ -360,7 +368,7 @@ def polyfill_hier(
             + pip_column(ymax, xmax, polygon).cast("int")
         )
         crossed = _polygon_crosses_rect(polygon, xmin, xmax, ymin, ymax)
-        tagged = cur.select(
+        tagged = rect.select(
             "cell",
             ((corners == 4) & ~crossed).alias("__in"),
             ((corners == 0) & ~crossed).alias("__out"),
@@ -369,17 +377,19 @@ def polyfill_hier(
         boundary = tagged.filter(~F.col("__in") & ~F.col("__out")).select("cell")
         cur = bx.uncompact_df(boundary, r + 1)
     # target res: boundary cells take the centroid test
-    xl, yl = _axis_levels(res)
-    px = 360.0 / (GRID_DIM * 7**xl)
-    py = 180.0 / (GRID_DIM * 7**yl)
-    xmin, _, ymin, _ = _cell_rect(res)
-    centroid_in = pip_column(ymin + py / 2.0, xmin + px / 2.0, polygon)
-    parts = [cur.filter(centroid_in).select("cell")]
-    for ins in inside_acc:
-        parts.append(bx.uncompact_df(ins, res))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    rect, px, py = _cell_rect_df(cur, res)
+    centroid_in = pip_column(
+        F.col("__ymin") + py / 2.0, F.col("__xmin") + px / 2.0, polygon
+    )
+    out = rect.filter(centroid_in).select("cell")
+    if inside_acc:
+        # union the mixed-res inside subtrees and expand them in ONE
+        # uncompact chain (uncompact_df handles mixed resolutions) —
+        # one chain instead of one per level keeps the plan shallow
+        inside = inside_acc[0]
+        for ins in inside_acc[1:]:
+            inside = inside.unionByName(ins)
+        out = out.unionByName(bx.uncompact_df(inside, res))
     return out.distinct()
 
 
