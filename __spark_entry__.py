@@ -357,6 +357,20 @@ def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dups(emb, DUP_THRESHOLD, dim=64, exact=True)
 
 
+POLYFILL_HIER_RES = 5
+
+
+def q_polyfill_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical coarse-to-fine polyfill vs the DuckDB flat
+    centroid-enumeration oracle (forced through several refinement
+    levels with a small coarse budget)."""
+    from hexspark.geo import polyfill_hier
+
+    return polyfill_hier(
+        spark, ops.REGIONS["alpha"], POLYFILL_HIER_RES, coarse_budget=128
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (binary payload → Arrow-batched feature
     extraction): the SQL-portable columns are oracle-gated; the stub
@@ -406,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_rings": q_knn_rings,
         "media_features": q_media_features,
         "embed_dups": q_embed_dups,
+        "polyfill_hier": q_polyfill_hier,
     }
 
 
@@ -448,4 +463,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_features": dd_media_features(kind="image"),
         "embed_dups": dd_embedding_dups(DUP_THRESHOLD),
+        "polyfill_hier": (
+            "SELECT cell FROM ("
+            + oracles.dd_polyfill_cte(
+                ops.REGIONS["alpha"], POLYFILL_HIER_RES, "alpha"
+            )
+            + ")"
+        ),
     }

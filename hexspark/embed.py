@@ -234,7 +234,13 @@ def embedding_dups(
         )
         cand = a.join(b, F.col("ida") < F.col("idb"))
     else:
-        sigs = hyperplane_signatures(corpus, dim, n_planes, n_tables, vec_col=vec_col)
+        from pyspark import StorageLevel
+
+        # both sides of the self-join read the signature relation; the
+        # persist runs the 32-projection signature pipeline once
+        sigs = hyperplane_signatures(
+            corpus, dim, n_planes, n_tables, vec_col=vec_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         sa = sigs.select(
             "bucket", F.col(key_col).alias("ida"),
             F.col(vec_col).cast("array<double>").alias("__va"),

@@ -130,6 +130,50 @@ def test_monaco_roundtrip_and_get_parity(spark, monaco, tmp_path):
     assert df.count() == len(pairs)
 
 
+def test_random_cells_and_value_lengths_roundtrip(spark, tmp_path):
+    """Reference writer is tested with 0..=0xFFFF-byte opaque values
+    (/root/reference/src/disktree/mod.rs:93-184) — mirror that: random
+    mixed-res cells, random-length byte values spanning all varint
+    widths, byte-exact roundtrip + random-access get on every cell."""
+    rng = np.random.default_rng(17)
+    cells = set()
+    for _ in range(300):
+        base = int(rng.integers(0, 122))
+        res = int(rng.integers(0, 16))
+        digs = rng.integers(0, 7, res)
+        digits = K.trailing_mask(res)
+        for i, d in enumerate(digs, start=1):
+            digits += int(d) << ((K.MAX_RES - i) * K.DIGIT_BITS)
+        cells.add(int(cnp.make_cell(
+            np.array([base]), np.array([res]), np.array([digits])
+        )[0]))
+    arr = np.array(sorted(cells), dtype=np.int64)
+    # keep only pairwise non-related (ancestor-wins, like a built table)
+    lo, hi = cnp.lo(arr), cnp.hi(arr)
+    keep = []
+    last_hi = -1
+    for idx in np.lexsort((cnp.res(arr), lo)):
+        if lo[idx] > last_hi:
+            keep.append(idx)
+            last_hi = hi[idx]
+    arr = arr[keep]
+    lens = [0, 1, 0x3F, 0x40, 0x1FFF, 0x2000, 0xFFFF] + [
+        int(rng.integers(0, 0x10000)) for _ in range(len(arr) - 7)
+    ]
+    pairs = [
+        (int(c), rng.integers(0, 256, n).astype(np.uint8).tobytes())
+        for c, n in zip(arr, lens)
+    ]
+    p = str(tmp_path / "rand.disktree")
+    write_disktree(pairs, p, value_ser=lambda b: b)
+    back = dict(iter_disktree(p, value_de=None))
+    assert back == dict(pairs)
+    buf = open(p, "rb").read()
+    for c, v in pairs:
+        got = disktree_get(buf, c, value_de=None)
+        assert got == (c, v)
+
+
 def test_set_roundtrip_zero_len_values(spark, monaco, tmp_path):
     built = bx.build_region(monaco, compactor="set")
     pairs = [(r["cell"], None) for r in built.collect()]
