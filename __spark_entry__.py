@@ -25,7 +25,8 @@ from hexspark import ops, oracles, synth
 from hexspark import text as tx
 from hexspark import dedup as dd
 from hexspark.embed import (
-    ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf, dd_embedding_dups,
+    ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf, dd_ann_topk_lsh,
+    dd_embedding_dups,
 )
 from hexspark.geo import knn_join, pip_column
 from hexspark.multimodal import dd_media_features, extract_features, synth_media
@@ -313,6 +314,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "rank", "vec_id")
 
 
+LSH_PLANES = 6
+LSH_TABLES = 3
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated hyperplane-LSH ANN: the seeded plane literals are
+    emitted verbatim into the DuckDB twin, and the sign tests run on
+    rounded dots, so both engines derive bit-identical buckets and the
+    whole bucketed-join + re-rank pipeline is hash-checkable."""
+    from hexspark.embed import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_topk_lsh(
+        emb, q, ANN_K, dim=64, n_planes=LSH_PLANES, n_tables=LSH_TABLES
+    ).select("query_id", "rank", "vec_id")
+
+
 KNN_RINGS_K = 5
 KNN_RINGS_MAX = 120
 KNN_RINGS_RES = 5
@@ -417,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "knn_rings": q_knn_rings,
         "media_features": q_media_features,
         "embed_dups": q_embed_dups,
@@ -456,6 +478,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": (
             "SELECT query_id, rank, vec_id FROM ("
             + dd_ann_topk_ivf(ANN_K, ANN_QUERIES, IVF_CENTROIDS, IVF_NPROBE)
+            + ")"
+        ),
+        "ann_lsh": (
+            "SELECT query_id, rank, vec_id FROM ("
+            + dd_ann_topk_lsh(ANN_K, ANN_QUERIES, 64, LSH_PLANES, LSH_TABLES)
             + ")"
         ),
         "knn_rings": oracles.q_knn_rings(

@@ -367,7 +367,13 @@ def hyperplane_signatures(
     independent plane sets, the sign pattern of ``n_planes`` fixed
     random projections packed into a BIGINT bucket id (table id in the
     high bits).  One output row per (row, table).  The planes are
-    deterministic (seeded) literals baked into the plan — broadcast-free."""
+    deterministic (seeded) literals baked into the plan — broadcast-free.
+
+    The sign test runs on the dot product *rounded to 6 decimals* so an
+    engine that sums products in a different IEEE order (DuckDB's
+    ``list_dot_product`` in :func:`dd_ann_topk_lsh`) derives bit-identical
+    buckets — a raw ``> 0`` could flip on a ±1e-17 summation-order
+    residue."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     buckets = []
@@ -375,10 +381,83 @@ def hyperplane_signatures(
         sig = F.lit(t << n_planes).cast("long")
         for i in range(n_planes):
             plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
-            d = dot(F.col(vec_col).cast("array<double>"), plane)
+            d = F.round(dot(F.col(vec_col).cast("array<double>"), plane), 6)
             sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
         buckets.append(sig)
     return df.withColumn("bucket", F.explode(F.array(*buckets)))
+
+
+def _dd_plane_sigs(
+    dim: int, n_planes: int, n_tables: int, seed: int, vec: str
+) -> list[str]:
+    """One DuckDB bucket expression per LSH table, generated from the
+    SAME seeded rng as :func:`hyperplane_signatures`; ``repr(float)`` is
+    shortest-round-trip so the parsed doubles are bit-identical to the
+    Spark ``F.lit`` literals."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    exprs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            "(CASE WHEN ROUND(list_dot_product({v}, [{p}]), 6) > 0"
+            " THEN {b} ELSE 0 END)".format(
+                v=vec,
+                p=", ".join(repr(float(x)) for x in planes[t, i]),
+                b=1 << i,
+            )
+            for i in range(n_planes)
+        )
+        exprs.append(f"({t << n_planes} + {bits})")
+    return exprs
+
+
+def dd_ann_topk_lsh(
+    k: int,
+    n_queries: int,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle of :func:`ann_topk_lsh`: identical seeded plane
+    literals → identical buckets → identical candidate sets, then the
+    same rounded-cosine re-rank with vec_id tie-break as the brute/IVF
+    twins."""
+    sig_list = ", ".join(_dd_plane_sigs(dim, n_planes, n_tables, seed, "vec"))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, unnest([{sig_list}]) AS bucket FROM e
+        ),
+        qsig AS (
+            SELECT vec_id AS query_id, bucket FROM sig WHERE vec_id < {n_queries}
+        ),
+        cand AS (
+            SELECT DISTINCT q.query_id, s.vec_id
+            FROM qsig q JOIN sig s USING (bucket)
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   ROUND(
+                     list_dot_product(e.vec, qe.vec)
+                     / (sqrt(list_dot_product(e.vec, e.vec))
+                      * sqrt(list_dot_product(qe.vec, qe.vec))),
+                     6
+                   ) AS sim
+            FROM cand
+            JOIN e ON e.vec_id = cand.vec_id
+            JOIN e qe ON qe.vec_id = cand.query_id
+        )
+        SELECT query_id, rank, vec_id, sim FROM (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def ann_topk_lsh(
