@@ -54,31 +54,53 @@ def synth_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic fake decoder: sha256-seeded feature vector.
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants);
+    uint64 arithmetic wraps, which is the intended modular behavior."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
-    Replace with a real codec (PIL/torchaudio/pyav) where available —
-    the calling plumbing is identical."""
+
+def _decode_stub_batch(payloads: list, dim: int) -> np.ndarray:
+    """Deterministic fake decoder over a WHOLE Arrow batch: per-row
+    sha256 (C-speed) seeds a vectorized counter-mode hash expansion —
+    one numpy pass produces the (n_rows × dim) feature matrix, no
+    per-row Python RNG construction.  Replace with a real codec
+    (PIL/torchaudio/pyav) where available — keep this per-batch shape."""
     if HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("wire a real codec here")
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    if not payloads:
+        return np.empty((0, dim), dtype=np.float32)
+    seeds = np.frombuffer(
+        b"".join(hashlib.sha256(bytes(p)).digest()[:8] for p in payloads),
+        dtype="<u8",
+    )
+    ctr = seeds[:, None] + np.arange(1, dim + 1, dtype=np.uint64)[None, :]
+    z = _splitmix64(ctr)
+    u = (z >> np.uint64(11)).astype(np.float64) * 2.0 ** -53  # [0, 1)
+    return (2.0 * u - 1.0).astype(np.float32)
+
+
+def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
+    """Single-payload convenience wrapper over the batch kernel."""
+    return _decode_stub_batch([payload], dim)[0]
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Arrow-batched decode→featurize: ``mapInPandas`` so each Python
     worker sees whole record batches; payload bytes never pass through
-    per-row Python call overhead."""
+    per-row Python call overhead, and the feature kernel itself is one
+    vectorized numpy pass per batch."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p, dim) for p in pdf["payload"]]
+            feats = _decode_stub_batch(list(pdf["payload"]), dim)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "feature": feats,
+                "feature": list(feats),
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
             })
 

@@ -24,6 +24,14 @@ TABLES = [
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
+    # cap the oracle engine: it shares the box with a 32-thread Spark
+    # JVM, and DuckDB's default 80%-of-RAM limit + 32 threads can
+    # malloc-fail on the heavy unrolled-compaction CTE late in the
+    # suite once both engines' buffers have grown — bound it and let
+    # it spill instead
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads=8")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
