@@ -378,6 +378,16 @@ def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dups(emb, DUP_THRESHOLD, dim=64, exact=True)
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events table — the batch twin of
+    the streaming path (same F.window primitive as
+    streaming.windowed_page_counts)."""
+    from hexspark.streaming import event_window_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_window_stats(events, window="1 hour")
+
+
 POLYFILL_HIER_RES = 5
 
 
@@ -400,6 +410,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = synth_media(docs, kind="image")
     return extract_features(media, dim=16).select("media_id", "kind", "n_bytes")
+
+
+def _dd_event_windows() -> str:
+    from hexspark.streaming import dd_event_window_stats
+
+    return dd_event_window_stats(hours=1)
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embed_dups": q_embed_dups,
         "polyfill_hier": q_polyfill_hier,
+        "event_windows": q_event_windows,
     }
 
 
@@ -497,4 +514,5 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "event_windows": _dd_event_windows(),
     }

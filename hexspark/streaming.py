@@ -113,6 +113,47 @@ def stateful_tile_totals(
     )
 
 
+def event_window_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window event rollup over the events table: count +
+    value total per (window, event_type).  Works identically on a batch
+    DataFrame and a ``readStream`` source (add ``withWatermark`` for
+    the latter) — the batch form is the oracle-gated contract query
+    (``event_windows``); sums round to 4 decimals so partial-agg
+    summation order can't flip the cross-engine hash.
+
+    ``win_start`` is emitted as a formatted string (session TZ is
+    pinned UTC) so the DuckDB twin's microsecond timestamps and Spark's
+    nanosecond pandas conversion compare byte-identically."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dd_event_window_stats(hours: int = 1) -> str:
+    """DuckDB twin of :func:`event_window_stats`: ``time_bucket`` with
+    an hour-multiple interval aligns to the same epoch-aligned
+    boundaries as Spark's ``F.window``."""
+    return f"""
+        SELECT strftime(time_bucket(INTERVAL '{hours} hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
 def windowed_page_counts(
     stream: DataFrame,
     watermark: str = "10 minutes",
