@@ -328,24 +328,69 @@ def descendants_join(
     probes: DataFrame,
     region_col: str = "cell",
     probe_col: str = "probe",
+    form: str = "chained",
 ) -> DataFrame:
     """Set-oriented ``descendants``: one output row per (probe, leaf).
 
-    Broadcast the probe list (small) and range-overlap join against the
-    region table.  Output carries both keys so callers can aggregate
-    per probe (subtree-sum etc.)."""
-    p = F.broadcast(
-        probes.select(
-            F.col(probe_col),
-            cx.lo(probe_col).alias("__plo"),
-            cx.hi(probe_col).alias("__phi"),
+    Output carries both keys so callers can aggregate per probe
+    (subtree-sum etc.).  Two physical forms, identical semantics:
+
+    * ``chained`` (default): ``related(leaf, probe)`` decomposed by
+      resolution into plain **equi-joins** — for each probe res ``p``,
+      leaves at-or-below ``p`` match on ``to_parent(leaf, p) ==
+      probe``, and the covering-leaf case (leaf coarser than probe)
+      matches on ``leaf == to_parent(probe, r)`` per coarser region
+      res ``r``.  Every branch is a BroadcastHashJoin: O(|region|)
+      hash lookups total, independent of probe count.
+    * ``range``: broadcast nested-loop join on subtree-range overlap —
+      O(|region| × |probes|) predicate evaluations; kept for arbitrary
+      range probes and as the declarative/oracle-shaped twin.
+    """
+    if form == "range":
+        p = F.broadcast(
+            probes.select(
+                F.col(probe_col),
+                cx.lo(probe_col).alias("__plo"),
+                cx.hi(probe_col).alias("__phi"),
+            )
         )
-    )
-    r = region.withColumn("__rlo", cx.lo(region_col)).withColumn(
-        "__rhi", cx.hi(region_col)
-    )
-    cond = (F.col("__rlo") <= F.col("__phi")) & (F.col("__rhi") >= F.col("__plo"))
-    return r.join(p, cond, "inner").drop("__plo", "__phi", "__rlo", "__rhi")
+        r = region.withColumn("__rlo", cx.lo(region_col)).withColumn(
+            "__rhi", cx.hi(region_col)
+        )
+        cond = (F.col("__rlo") <= F.col("__phi")) & (F.col("__rhi") >= F.col("__plo"))
+        return r.join(p, cond, "inner").drop("__plo", "__phi", "__rlo", "__rhi")
+    if form != "chained":
+        raise ValueError(f"unknown form {form!r}")
+    p_res = region_res_set(probes, probe_col)
+    r_res = region_res_set(region, region_col)
+    out = None
+    for pr in p_res:
+        p_r = F.broadcast(probes.filter(cx.res(probe_col) == pr))
+        # leaves at-or-below the probe res (probe covers leaf, or ==)
+        branches = [
+            region.filter(cx.res(region_col) >= pr).join(
+                p_r, cx.to_parent(region_col, pr) == F.col(probe_col), "inner"
+            )
+        ]
+        # covering leaf coarser than the probe: one equi-join per
+        # coarser region res (disjoint from the branch above)
+        for rr in [s for s in r_res if s < pr]:
+            branches.append(
+                region.filter(cx.res(region_col) == rr).join(
+                    F.broadcast(
+                        probes.filter(cx.res(probe_col) == pr).withColumn(
+                            "__pp", cx.to_parent(probe_col, rr)
+                        )
+                    ),
+                    F.col(region_col) == F.col("__pp"),
+                    "inner",
+                ).drop("__pp")
+            )
+        for b in branches:
+            out = b if out is None else out.unionByName(b)
+    if out is None:  # empty probe table
+        return descendants_join(region, probes, region_col, probe_col, form="range")
+    return out
 
 
 def subtree_agg(

@@ -324,3 +324,34 @@ def test_subtree_agg(spark, monaco):
     probes = spark.createDataFrame([(int(p),) for p in parents9], "probe: long")
     sums = jx.subtree_agg(built, probes, [F.sum("value").alias("s")], probe_col="probe")
     assert sums.agg(F.sum("s")).collect()[0][0] == total_row
+
+
+def test_descendants_join_chained_equals_range(spark, monaco):
+    """The chained per-resolution equi-join form of descendants_join
+    must emit exactly the range-overlap BNLJ rows, including the
+    covering-leaf case (probe deeper than the stored leaf)."""
+    vals = monaco.withColumn("value", (F.col("cell") % 97).cast("long"))
+    built = bx.build_region(vals, value_col="value", compactor="none").cache()
+    cells = np.array([r["cell"] for r in monaco.collect()], dtype=np.int64)
+    # res-14 descendants of stored res-12 leaves (digits 13,14 = 0):
+    # clear those digit slots (they hold the 7,7 trailing marker at
+    # res 12) and stamp res=14 — forces covering-leaf matches
+    d13 = 0x7 << ((K.MAX_RES - 13) * K.DIGIT_BITS)
+    d14 = 0x7 << ((K.MAX_RES - 14) * K.DIGIT_BITS)
+    deeper14 = ((cells[:5] & ~(d13 | d14 | K.RES_MASK)) | (14 << K.RES_OFFSET)).astype(np.int64)
+    probe_cells = np.concatenate([
+        np.unique(cnp.to_parent(cells, 9))[:5],   # coarser than leaves
+        cells[:5],                                 # exactly leaf res
+        deeper14,                                  # deeper than leaves
+    ])
+    probes = spark.createDataFrame(
+        [(int(p),) for p in np.unique(probe_cells)], "probe: long"
+    )
+    a = jx.descendants_join(built, probes, probe_col="probe", form="chained")
+    b = jx.descendants_join(built, probes, probe_col="probe", form="range")
+    rows_a = sorted(tuple(r) for r in a.select("probe", "cell", "value").collect())
+    rows_b = sorted(tuple(r) for r in b.select("probe", "cell", "value").collect())
+    assert rows_a == rows_b and len(rows_a) > 0
+    # the deeper probes must each resolve to their covering res-12 leaf
+    got_deeper = {p for (p, _, _) in rows_a if p in set(int(x) for x in deeper14)}
+    assert got_deeper == {int(x) for x in deeper14}
