@@ -119,6 +119,44 @@ def test_h3idx_and_kepler_roundtrip(spark, monaco, tmp_path):
     assert back2.exceptAll(monaco).count() == 0 and monaco.exceptAll(back2).count() == 0
 
 
+def test_streaming_event_windows(spark, tmp_path):
+    """event_window_stats is batch≡stream: the same F.window rollup
+    over a watermarked file stream (append mode emits closed windows)
+    must be a subset of — and agree with — the batch contract query."""
+    from hexspark import streaming as st
+
+    src_dir = str(tmp_path / "esrc")
+    events = spark.range(3000).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 11).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("error")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("id") % 100 / 4.0).alias("value"),
+    )
+    events.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src_dir)
+    agg = st.event_window_stats(stream.withWatermark("ts", "30 minutes"))
+    q = (
+        agg.writeStream.format("memory").queryName("ewin")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "eckpt")).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM ewin").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in st.event_window_stats(spark.read.parquet(src_dir)).collect()
+    }
+    assert len(got) > 0
+    assert all(want.get(k) == v for k, v in got.items())
+
+
 def test_streaming_windowed_tile_counts(spark, tmp_path):
     """Watermarked windowed rollup over a file stream == the batch
     window aggregation on the same rows."""
