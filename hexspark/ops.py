@@ -93,6 +93,27 @@ def tile_stats(pages: DataFrame, tile_res: int) -> DataFrame:
     )
 
 
+def tile_stats_approx(
+    pages: DataFrame,
+    tile_res: int,
+    distinct_col: str = "lang",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based tile stats for cardinality at scale: exact
+    ``count_distinct`` needs a second shuffle keyed by (tile, value);
+    ``approx_count_distinct`` (HyperLogLog++) merges fixed-size sketches
+    map-side — one shuffle, O(tiles) state, ``rsd`` relative error.
+    The scale path for high-cardinality distinct columns (urls, doc
+    fingerprints); exact :func:`tile_stats` stays the oracle-gated
+    contract query."""
+    return pages.groupBy(
+        cx.to_parent("cell", tile_res).alias("tile")
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("n_distinct_approx"),
+    )
+
+
 def tile_region_rollup(
     pages: DataFrame, regions: DataFrame, tile_res: int
 ) -> DataFrame:

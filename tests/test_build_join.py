@@ -326,6 +326,27 @@ def test_subtree_agg(spark, monaco):
     assert sums.agg(F.sum("s")).collect()[0][0] == total_row
 
 
+def test_tile_stats_approx_tracks_exact(spark):
+    """HLL++ sketch tile stats (the one-shuffle scale path for
+    high-cardinality distincts) stay within tolerance of the exact
+    two-shuffle count_distinct on every tile."""
+    from hexspark import ops, synth
+
+    pages = spark.range(20000).select(
+        synth.cell_from_key(F.col("id"), 8).alias("cell"),
+        (F.col("id") % 997).cast("string").alias("lang"),
+    )
+    exact = {r["tile"]: (r["n_pages"], r["n_langs"])
+             for r in ops.tile_stats(pages, 2).collect()}
+    approx = {r["tile"]: (r["n_pages"], r["n_distinct_approx"])
+              for r in ops.tile_stats_approx(pages, 2, rsd=0.02).collect()}
+    assert set(exact) == set(approx) and len(exact) > 1
+    for t, (n, d) in exact.items():
+        an, ad = approx[t]
+        assert an == n  # plain count is exact in both
+        assert abs(ad - d) <= max(3, 0.1 * d), (t, d, ad)
+
+
 def test_descendants_join_chained_equals_range(spark, monaco):
     """The chained per-resolution equi-join form of descendants_join
     must emit exactly the range-overlap BNLJ rows, including the
