@@ -20,11 +20,13 @@ Two physical forms:
    ≤16 ancestors and broadcast equi-join on the stored cell.  Fully
    declarative (Catalyst plans a BroadcastHashJoin), used as the
    SQL-expressible oracle form.  Costs a ≤16× transient row blowup.
-2. ``*_indexed`` — production form: ``mapInPandas`` over the probe
+2. ``*_indexed`` — production form: ``mapInArrow`` over the probe
    table with a broadcast :class:`hexspark.cells_np.SortedCellIndex`;
-   one vectorized ``searchsorted`` per Arrow batch.  No row blowup, no
-   shuffle, O(log n) per probe — the direct analogue of the
-   reference's O(res) descent, but batched.  Values of arbitrary Spark
+   one vectorized ``searchsorted`` per raw Arrow RecordBatch (a
+   ``mapInPandas`` twin is kept for comparison — the pandas
+   materialization costs ~20%).  No row blowup, no shuffle, O(log n)
+   per probe — the direct analogue of the reference's O(res) descent,
+   but batched.  Values of arbitrary Spark
    type are attached afterwards by a *tiny* broadcast join on the
    stored cell key, so the hot path stays numeric.
 """
@@ -190,7 +192,7 @@ def get_auto(
     Measured on 100M probes (local[8] / local[32]): chained broadcast
     joins 4.0s/2.5s, explode+join 23.1s/9.2s (per-row array allocation
     churns the allocator and caps multi-core scaling), mapInPandas
-    searchsorted ~25s (Python/Arrow ceiling).  So: chained joins when
+    searchsorted ~25s pandas-form, ~20% faster as mapInArrow (Python-side ceiling).  So: chained joins when
     the region's resolution set is small (the common case — compacted
     continent regions span 3-5 levels); searchsorted for deep res sets
     where 16 chained joins would bloat the plan."""
@@ -204,21 +206,40 @@ def get_auto(
 # indexed form (production)
 # ---------------------------------------------------------------------------
 
+def _probe_kernel(qi: "np.ndarray", los, his, cells_sorted):
+    """Vectorized nearest-ancestor search: (covered mask, stored cells)."""
+    if len(los) == 0:  # empty region: nothing is covered
+        return np.zeros(len(qi), dtype=bool), np.zeros(len(qi), dtype=np.int64)
+    valid = cnp.is_valid(qi)
+    plo = cnp.lo(qi)
+    phi = cnp.hi(qi)
+    idx = np.searchsorted(los, plo, side="right") - 1
+    safe = np.maximum(idx, 0)
+    covered = valid & (idx >= 0) & (los[safe] <= plo) & (his[safe] >= phi)
+    stored = np.where(covered, cells_sorted[safe], 0)
+    return covered, stored
+
+
 def probe_indexed(
     probes: DataFrame,
     region: DataFrame,
     probe_col: str = "cell",
     region_col: str = "cell",
     stored_col: str = "stored_cell",
+    form: str = "arrow",
 ) -> DataFrame:
     """Attach ``stored_cell`` (nullable) to every probe row via a
-    broadcast sorted-array binary search inside ``mapInPandas``.
+    broadcast sorted-array binary search inside an Arrow-batched UDF.
 
     The region's compacted cells are collected once (broadcast-scale by
     construction — see :mod:`hexspark.build`), sorted by ``lo``, and
     shipped to executors as numpy arrays.  NULL probe cells and probes
     with no covering leaf get NULL ``stored_cell``.
-    """
+
+    ``form='arrow'`` (default) runs the kernel over raw
+    ``pyarrow.RecordBatch`` es (``mapInArrow``) — no pandas DataFrame
+    materialization per batch; ``form='pandas'`` is the ``mapInPandas``
+    twin (kept for comparison/regression)."""
     cells = np.array(
         [r[0] for r in region.select(region_col).collect()], dtype=np.int64
     )
@@ -239,26 +260,31 @@ def probe_indexed(
         list(probes.schema.fields) + [StructField(stored_col, LongType(), True)]
     )
 
+    if form == "arrow":
+        import pyarrow as pa
+
+        out_names = [f.name for f in probes.schema.fields] + [stored_col]
+        n_keep = len(probes.schema.fields)  # qcol is appended last
+
+        def afn(batches):
+            d = bidx.value
+            los, his, cells_sorted = d["los"], d["his"], d["cells"]
+            for batch in batches:
+                qi = batch.column(n_keep).to_numpy(zero_copy_only=False)
+                qi = np.ascontiguousarray(qi, dtype=np.int64)
+                covered, stored = _probe_kernel(qi, los, his, cells_sorted)
+                stored_arr = pa.array(stored, type=pa.int64(), mask=~covered)
+                cols = [batch.column(i) for i in range(n_keep)] + [stored_arr]
+                yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+        return src.mapInArrow(afn, schema=schema)
+
     def fn(batches):
         d = bidx.value
         los, his, cells_sorted = d["los"], d["his"], d["cells"]
         for pdf in batches:
             qi = pdf[qcol].to_numpy(dtype=np.int64)
-            if len(los) == 0:  # empty region: nothing is covered
-                covered = np.zeros(len(qi), dtype=bool)
-                stored = np.zeros(len(qi), dtype=np.int64)
-                out = pdf.drop(columns=[qcol])
-                out[stored_col] = pd.array(stored, dtype="Int64")
-                out.loc[:, stored_col] = pd.NA
-                yield out
-                continue
-            valid = cnp.is_valid(qi)
-            plo = cnp.lo(qi)
-            phi = cnp.hi(qi)
-            idx = np.searchsorted(los, plo, side="right") - 1
-            safe = np.maximum(idx, 0)
-            covered = valid & (idx >= 0) & (los[safe] <= plo) & (his[safe] >= phi)
-            stored = np.where(covered, cells_sorted[safe], 0)
+            covered, stored = _probe_kernel(qi, los, his, cells_sorted)
             out = pdf.drop(columns=[qcol])
             out[stored_col] = pd.array(stored, dtype="Int64")
             out.loc[~covered, stored_col] = pd.NA

@@ -326,6 +326,28 @@ def test_subtree_agg(spark, monaco):
     assert sums.agg(F.sum("s")).collect()[0][0] == total_row
 
 
+def test_probe_indexed_arrow_equals_pandas(spark, monaco):
+    """mapInArrow and mapInPandas probe forms agree row-for-row,
+    including NULL and invalid probe cells (the Arrow null-mask path)."""
+    built = bx.build_region(monaco, compactor="set").cache()
+    cells = [int(r["cell"]) for r in monaco.limit(20).collect()]
+    probe_rows = (
+        [(i, c) for i, c in enumerate(cells)]
+        + [(100, None), (101, -7), (102, 0)]
+    )
+    probes = spark.createDataFrame(probe_rows, "id: long, cell: long")
+    a = {
+        (r["id"], r["stored_cell"])
+        for r in jx.probe_indexed(probes, built, form="arrow").collect()
+    }
+    b = {
+        (r["id"], r["stored_cell"])
+        for r in jx.probe_indexed(probes, built, form="pandas").collect()
+    }
+    assert a == b
+    assert (100, None) in a and (101, None) in a
+
+
 def test_tile_stats_approx_tracks_exact(spark):
     """HLL++ sketch tile stats (the one-shuffle scale path for
     high-cardinality distincts) stay within tolerance of the exact
