@@ -24,12 +24,16 @@ def dd_compact_set_cte(src_cte: str, max_res: int) -> str:
     ``max_res`` down to 1 (the A2 loop as pure SQL).  ``src_cte`` must
     select a single BIGINT column ``cell`` of pairwise non-related,
     deduplicated cells."""
-    ctes = [f"lvl{max_res} AS ({src_cte})"]
+    # MATERIALIZED is load-bearing: every lvl references the previous
+    # lvl twice (directly + via step) — DuckDB inlines plain CTEs per
+    # reference, so without it the chain re-evaluates the source
+    # ~3^max_res times (measured: 128s -> <1s on 2k cells)
+    ctes = [f"lvl{max_res} AS MATERIALIZED ({src_cte})"]
     for r in range(max_res, 0, -1):
         parent = synth.dd_to_parent("cell", r - 1)
         res = synth.dd_res("cell")
         ctes.append(
-            f"""step{r} AS (
+            f"""step{r} AS MATERIALIZED (
                 SELECT parent AS cell FROM (
                     SELECT {parent} AS parent, COUNT(*) AS c
                     FROM lvl{r} WHERE {res} = {r} GROUP BY 1
@@ -37,7 +41,7 @@ def dd_compact_set_cte(src_cte: str, max_res: int) -> str:
             )"""
         )
         ctes.append(
-            f"""lvl{r - 1} AS (
+            f"""lvl{r - 1} AS MATERIALIZED (
                 SELECT cell FROM lvl{r}
                 WHERE {res} <> {r}
                    OR {parent} NOT IN (SELECT cell FROM step{r})
