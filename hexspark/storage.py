@@ -67,6 +67,27 @@ def write_region_iceberg(
         ) from e
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Bucketed parquet table (``bucketBy`` + ``saveAsTable``): rows are
+    hash-bucketed on ``bucket_col`` at WRITE time, so every later join
+    or aggregation keyed on that column reads co-located buckets and
+    plans **no Exchange** — the standard answer when a pages-scale
+    table is joined on the same key (tile / cell prefix / region) by
+    many downstream queries.  Pair with ``sort=True`` for bucket-local
+    ordering (merge-join without a Sort).  Bucket count should be
+    sized so one bucket ≈ one task's worth of data at the target SF."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
 def read_region(spark: SparkSession, path: str, ordered: bool = False) -> DataFrame:
     df = spark.read.parquet(path)
     if ordered:

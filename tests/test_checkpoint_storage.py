@@ -119,6 +119,38 @@ def test_h3idx_and_kepler_roundtrip(spark, monaco, tmp_path):
     assert back2.exceptAll(monaco).count() == 0 and monaco.exceptAll(back2).count() == 0
 
 
+def test_bucketed_join_plans_no_exchange(spark):
+    """write_bucketed: a join between two tables bucketed on the same
+    key must plan WITHOUT any Exchange (co-located bucket scan) — the
+    shuffle-free repeated-join path at scale."""
+    from hexspark import storage
+
+    pages = spark.range(20000).select(
+        F.col("id").alias("page_key"),
+        (F.col("id") % 64).alias("tile"),
+    )
+    # a second relation keyed the same way (per-tile weights)
+    weights = spark.range(64).select(
+        F.col("id").alias("tile"), (F.col("id") * 10).alias("weight")
+    )
+    storage.write_bucketed(pages, "bt_pages", "tile", n_buckets=8)
+    storage.write_bucketed(weights, "bt_weights", "tile", n_buckets=8)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_pages").join(spark.table("bt_weights"), on="tile")
+        assert joined.count() == 20000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bt_pages")
+        spark.sql("DROP TABLE IF EXISTS bt_weights")
+
+
 def test_streaming_event_windows(spark, tmp_path):
     """event_window_stats is batch≡stream: the same F.window rollup
     over a watermarked file stream (append mode emits closed windows)
