@@ -119,6 +119,58 @@ def test_h3idx_and_kepler_roundtrip(spark, monaco, tmp_path):
     assert back2.exceptAll(monaco).count() == 0 and monaco.exceptAll(back2).count() == 0
 
 
+def test_spark_submit_multi_executor_parity(spark, tmp_path):
+    """north_rule 'run via spark-submit --py-files on a multi-executor
+    cluster': package hexspark.zip, launch the flagship job through
+    spark-submit on local-cluster (two REAL separate executor JVMs —
+    code ships via --py-files only), and assert the region counts equal
+    the same pipeline computed in-session."""
+    import json
+    import shutil
+    import subprocess
+
+    import pyspark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not os.path.exists(submit):
+        submit = shutil.which("spark-submit")
+    if not submit:
+        pytest.skip("spark-submit not available")
+    subprocess.run(["bash", "scripts/package.sh"], check=True, cwd=repo,
+                   capture_output=True)
+    out = subprocess.run(
+        [submit, "--master", "local-cluster[2,4,2048]",
+         "--py-files", "dist/hexspark.zip",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "scripts/submit_smoke_job.py"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("RESULT ")]
+    assert lines, (out.stdout[-1000:], out.stderr[-2000:])
+    got = json.loads(lines[0][len("RESULT "):])
+    assert got["master"].startswith("local-cluster")
+    # expected: the identical pipeline in THIS session's JVM
+    from hexspark import ops, synth
+    from hexspark.geo import grid_encode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    pages = spark.range(0, n * 40, 1, 8).select(
+        F.col("id").alias("page_key"),
+        F.concat(F.lit("l"), (F.col("id") % 4).cast("string")).alias("lang"),
+    )
+    lat, lon = synth.latlon_from_key(F.col("page_key"))
+    pages = pages.withColumn("lat", lat).withColumn("lon", lon).withColumn(
+        "cell", grid_encode(F.col("lat"), F.col("lon"), 12)
+    )
+    want = {
+        r["region"]: r["n_pages"]
+        for r in ops.region_counts(pages, ops.region_map(spark)).collect()
+    }
+    assert got["counts"] == want
+
+
 def test_bucketed_join_plans_no_exchange(spark):
     """write_bucketed: a join between two tables bucketed on the same
     key must plan WITHOUT any Exchange (co-located bucket scan) — the
