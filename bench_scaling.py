@@ -38,15 +38,27 @@ from hexspark import ops, synth
 from hexspark.geo import grid_encode
 from hexspark.session import get_spark
 
-cores = int(sys.argv[1])
-# throughput-collector GC + a large heap: at 32 cores the default G1/8g
-# setup loses ~12% to GC of short-lived UnsafeRow allocations; the
-# 8-core leg is unaffected (measured), so this purely helps scaling
-spark = get_spark(
-    "scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores, 8),
-    extra_conf={{"spark.driver.memory": "32g",
-                 "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}},
-)
+spec = sys.argv[1]
+if "x" in spec:
+    # real multi-executor mode: SEPARATE executor JVMs via
+    # local-cluster[n_exec, cores_per, mem] — the in-sandbox
+    # realization of the north rule's "N and 4N executors"
+    n_exec, cores_per = (int(v) for v in spec.split("x"))
+    cores = n_exec * cores_per
+    spark = get_spark(
+        "scaling", master=f"local-cluster[{{n_exec}},{{cores_per}},8192]",
+        shuffle_partitions=max(cores, 8),
+    )
+else:
+    cores = int(spec)
+    # throughput-collector GC + a large heap: at 32 cores the default G1/8g
+    # setup loses ~12% to GC of short-lived UnsafeRow allocations; the
+    # 8-core leg is unaffected (measured), so this purely helps scaling
+    spark = get_spark(
+        "scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores, 8),
+        extra_conf={{"spark.driver.memory": "32g",
+                     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}},
+    )
 spark.sparkContext.setLogLevel("ERROR")
 
 # The timed job is the full north-metric pipeline from storage:
@@ -126,10 +138,10 @@ def hardware_parallel_factor(n_small: int, n_big: int) -> float:
     return rate(n_big) / rate(n_small)
 
 
-def measure(cores: int) -> dict:
+def measure(spec) -> dict:
     script = WORKER.format(repo=REPO, sf_dir=SF_DIR, copies=COPIES, rounds=ROUNDS)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores)],
+        [sys.executable, "-c", script, str(spec)],
         capture_output=True, text=True, timeout=3600,
     )
     if out.returncode != 0:
@@ -137,17 +149,34 @@ def measure(cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def n_cores(spec) -> int:
+    s = str(spec)
+    if "x" in s:
+        a, b = s.split("x")
+        return int(a) * int(b)
+    return int(s)
+
+
+def label(spec) -> str:
+    s = str(spec)
+    if "x" in s:
+        a, b = s.split("x")
+        return f"{a} executor JVMs × {b} cores"
+    return f"local[{s}]"
+
+
 REPS = int(os.environ.get("BENCH_REPS", "3"))
-# "n_small:n_big" pairs, comma-separated.  Both 4:16 and 8:32 are
-# reported by default: 8→32 is the largest pairing this box offers,
-# 4→16 is the pairing where SMT/frequency scaling binds least.
+# "n_small:n_big" pairs, comma-separated.  A leg is either a thread
+# count ("8" = local[8]) or "NxC" = N separate executor JVMs × C cores
+# (local-cluster).  Defaults report the thread pairings 4:16 and 8:32;
+# add 1x4:4x4 for the literal N-vs-4N-executor-process form.
 PAIRS = [
-    tuple(int(c) for c in p.split(":"))
+    tuple(p.split(":"))
     for p in os.environ.get("BENCH_PAIRS", f"{N_SMALL}:{N_BIG}").split(",")
 ]
 
 
-def run_pair(n_small: int, n_big: int) -> dict:
+def run_pair(n_small, n_big) -> dict:
     # Interleave full repetitions of both legs (fresh JVM each) and keep
     # each leg's best: this box's per-core frequency drifts minute to
     # minute (thermal/turbo), so a single sequential pair can bias
@@ -159,24 +188,25 @@ def run_pair(n_small: int, n_big: int) -> dict:
         bigs.append(measure(n_big))
     small = min(smalls, key=lambda m: m["sec"])
     big = min(bigs, key=lambda m: m["sec"])
-    hw = hardware_parallel_factor(n_small, n_big)
+    hw = hardware_parallel_factor(n_cores(n_small), n_cores(n_big))
     ratio = big["pages_per_sec"] / small["pages_per_sec"]
-    eff = ratio / (n_big / n_small)
+    eff = ratio / (n_cores(n_big) / n_cores(n_small))
     eff_hw = ratio / hw if hw > 0 else None
+    ls, lb = label(n_small), label(n_big)
     return {
-        "n_small": n_small,
-        "n_big": n_big,
+        "n_small": str(n_small),
+        "n_big": str(n_big),
         "sf_dir": SF_DIR,
         "copies": COPIES,
         "n_pages": big["n_pages"],
         "samples_sec": {
-            f"local[{n_small}]": [round(m["sec"], 3) for m in smalls],
-            f"local[{n_big}]": [round(m["sec"], 3) for m in bigs],
+            ls: [round(m["sec"], 3) for m in smalls],
+            lb: [round(m["sec"], 3) for m in bigs],
         },
-        f"local[{n_small}]": {"sec": round(small["sec"], 3),
-                              "pages_per_sec": round(small["pages_per_sec"], 1)},
-        f"local[{n_big}]": {"sec": round(big["sec"], 3),
-                            "pages_per_sec": round(big["pages_per_sec"], 1)},
+        ls: {"sec": round(small["sec"], 3),
+             "pages_per_sec": round(small["pages_per_sec"], 1)},
+        lb: {"sec": round(big["sec"], 3),
+             "pages_per_sec": round(big["pages_per_sec"], 1)},
         "speedup": round(ratio, 3),
         "scaling_efficiency_vs_ideal": round(eff, 3),
         "hardware_speedup_ceiling": round(hw, 3),
@@ -186,20 +216,21 @@ def run_pair(n_small: int, n_big: int) -> dict:
 
 
 def pair_section(r: dict) -> str:
-    ns, nb = r["n_small"], r["n_big"]
-    s, b = r[f"local[{ns}]"], r[f"local[{nb}]"]
-    return f"""## local[{ns}] → local[{nb}]
+    ls, lb = label(r["n_small"]), label(r["n_big"])
+    s, b = r[ls], r[lb]
+    return f"""## {ls} → {lb}
 
 | config | wall sec (best over {REPS} interleaved reps × {ROUNDS} rounds) | pages/sec |
 |---|---|---|
-| local[{ns}] (N) | {s['sec']:.3f} (samples {', '.join(f"{x:.2f}" for x in r['samples_sec'][f'local[{ns}]'])}) | {s['pages_per_sec']:,.0f} |
-| local[{nb}] (4N) | {b['sec']:.3f} (samples {', '.join(f"{x:.2f}" for x in r['samples_sec'][f'local[{nb}]'])}) | {b['pages_per_sec']:,.0f} |
+| {ls} (N) | {s['sec']:.3f} (samples {', '.join(f"{x:.2f}" for x in r['samples_sec'][ls])}) | {s['pages_per_sec']:,.0f} |
+| {lb} (4N) | {b['sec']:.3f} (samples {', '.join(f"{x:.2f}" for x in r['samples_sec'][lb])}) | {b['pages_per_sec']:,.0f} |
 
 * speedup N→4N: **{r['speedup']:.2f}×**; **raw scaling efficiency vs
   ideal 4×: {r['scaling_efficiency_vs_ideal']:.3f}** (target ≥ 0.8)
-* hardware ceiling ({nb} vs {ns} parallel CPU-bound processes, measured
-  in the same session): {r['hardware_speedup_ceiling']:.2f}×; efficiency vs that
-  achievable ceiling: {r['scaling_efficiency_vs_hardware']:.3f}
+* hardware ceiling ({n_cores(r['n_big'])} vs {n_cores(r['n_small'])} parallel
+  CPU-bound processes, measured in the same session):
+  {r['hardware_speedup_ceiling']:.2f}×; efficiency vs that achievable
+  ceiling: {r['scaling_efficiency_vs_hardware']:.3f}
 """
 
 
@@ -213,7 +244,7 @@ def main() -> None:
         f"**North-rule scaling target (≥0.8 raw efficiency at N→4N): "
         f"{'MET' if best['scaling_efficiency_vs_ideal'] >= 0.8 else 'NOT MET'} "
         f"— {best['scaling_efficiency_vs_ideal']:.3f} raw at "
-        f"local[{best['n_small']}]→local[{best['n_big']}]** "
+        f"{label(best['n_small'])}→{label(best['n_big'])}** "
         f"({best['speedup']:.2f}× speedup; "
         f"{best['scaling_efficiency_vs_hardware']:.2f} of this box's measured "
         f"hardware ceiling)."
@@ -247,7 +278,8 @@ is sized so distributed execution dwarfs fixed driver-side planning.
   cluster (4× machines — no shared frequency budget) maps to ≥0.8.
 
 Run: ``python bench_scaling.py`` (env: SPARK_GRAFT_SF_DIR, BENCH_COPIES,
-BENCH_PAIRS="4:16,8:32", BENCH_REPS, BENCH_ROUNDS).
+BENCH_PAIRS="1x4:4x4,4:16,8:32", BENCH_REPS, BENCH_ROUNDS — "NxC" legs
+run N separate executor JVMs × C cores via local-cluster).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -2,7 +2,8 @@
 
 * brute-force cosine top-k — the exact baseline: native ``zip_with`` /
   ``aggregate`` dot products (JVM-side, no UDF), broadcast query set,
-  window top-k.  DuckDB oracle via ``list_dot_product``.
+  two-phase top-k (hexspark.topk).  DuckDB oracle via
+  ``list_dot_product``.
 * LSH-bucketed variant — the scale path: random-hyperplane signatures
   bucket the corpus; candidates share a bucket; exact re-rank inside.
 
