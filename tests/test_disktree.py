@@ -174,6 +174,17 @@ def test_random_cells_and_value_lengths_roundtrip(spark, tmp_path):
         assert got == (c, v)
 
 
+def test_empty_tree_roundtrip(tmp_path):
+    """Reference edge case (/root/reference/src/disktree/mod.rs:233-243):
+    a disktree with zero entries writes, iterates empty, and misses on
+    every lookup."""
+    p = str(tmp_path / "empty.disktree")
+    write_disktree([], p, value_ser=lambda b: b)
+    assert list(iter_disktree(p, value_de=None)) == []
+    buf = open(p, "rb").read()
+    assert disktree_get(buf, 0x85283473FFFFFFF, value_de=None) is None
+
+
 def test_set_roundtrip_zero_len_values(spark, monaco, tmp_path):
     built = bx.build_region(monaco, compactor="set")
     pairs = [(r["cell"], None) for r in built.collect()]
