@@ -337,11 +337,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_RINGS_K = 5
 KNN_RINGS_MAX = 120
 KNN_RINGS_RES = 5
+# three probe locations — per-probe ranking exercised, not just one
+KNN_RINGS_PROBES = ((0.0, 0.0), (35.0, 12.0), (-40.0, -100.0))
 
 
 def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated ring-metric kNN: Spark-side ring-disk expansion
-    from a probe DataFrame vs the DuckDB Chebyshev-distance twin."""
+    from a probe DataFrame (3 probes, per-probe rank) vs the DuckDB
+    Chebyshev-distance twin."""
     import numpy as np
 
     from hexspark.geo import grid_encode, grid_encode_np, knn_rings
@@ -353,10 +356,10 @@ def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(grid_encode(F.col("lat"), F.col("lon"), KNN_RINGS_RES).alias("cell"))
         .distinct()
     )
-    probe = int(
-        grid_encode_np(np.array([0.0]), np.array([0.0]), KNN_RINGS_RES)[0]
-    )
-    probes = spark.createDataFrame([(probe,)], "probe: long")
+    lats = np.array([p[0] for p in KNN_RINGS_PROBES])
+    lons = np.array([p[1] for p in KNN_RINGS_PROBES])
+    pcells = np.unique(grid_encode_np(lats, lons, KNN_RINGS_RES))
+    probes = spark.createDataFrame([(int(c),) for c in pcells], "probe: long")
     return knn_rings(
         stored, probes, k=KNN_RINGS_K, max_ring=KNN_RINGS_MAX, res=KNN_RINGS_RES
     )
@@ -503,7 +506,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "knn_rings": oracles.q_knn_rings(
-            KNN_RINGS_K, KNN_RINGS_MAX, KNN_RINGS_RES
+            KNN_RINGS_K, KNN_RINGS_MAX, KNN_RINGS_RES, KNN_RINGS_PROBES
         ),
         "media_features": dd_media_features(kind="image"),
         "embed_dups": dd_embedding_dups(DUP_THRESHOLD),

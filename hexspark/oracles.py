@@ -319,32 +319,45 @@ def q_text_features() -> str:
     """
 
 
-def q_knn_rings(k: int, max_ring: int, res: int) -> str:
+def q_knn_rings(
+    k: int, max_ring: int, res: int, probe_latlons=((0.0, 0.0),)
+) -> str:
     """Ring-metric kNN oracle: stored = distinct grid cells of customer
-    points, probe = the (0, 0) cell; ring = lattice Chebyshev distance
-    via the :func:`hexspark.geo.dd_cell_to_ij` twin — equivalent by
-    definition to the engine's k-ring-disk expansion + join."""
+    points, probes = the grid cells of ``probe_latlons``; ring = lattice
+    Chebyshev distance via the :func:`hexspark.geo.dd_cell_to_ij` twin —
+    equivalent by definition to the engine's per-probe k-ring-disk
+    expansion + join, ranked per probe."""
     import numpy as np
 
     from .geo import cell_to_ij_np, dd_cell_to_ij, dd_grid_encode, grid_encode_np
 
-    probe = int(grid_encode_np(np.array([0.0]), np.array([0.0]), res)[0])
-    pi, pj, _ = cell_to_ij_np(np.array([probe], dtype=np.int64))
+    lats = np.array([p[0] for p in probe_latlons], dtype=float)
+    lons = np.array([p[1] for p in probe_latlons], dtype=float)
+    pcells = np.unique(grid_encode_np(lats, lons, res))
+    pi, pj, _ = cell_to_ij_np(pcells.astype(np.int64))
+    values = ", ".join(
+        f"(CAST({int(c)} AS BIGINT), {int(a)}, {int(b)})"
+        for c, a, b in zip(pcells, pi, pj)
+    )
     lat, lon = synth.dd_latlon_from_key("c_custkey")
     cell = dd_grid_encode(lat, lon, res)
-    i, j = dd_cell_to_ij("cell", res)
+    i, j = dd_cell_to_ij("s.cell", res)
     return f"""
         WITH stored AS (SELECT DISTINCT {cell} AS cell FROM customer),
+        probes(probe, pi, pj) AS (VALUES {values}),
         scored AS (
-            SELECT cell,
-                   GREATEST(ABS({i} - {int(pi[0])}), ABS({j} - {int(pj[0])})) AS ring
-            FROM stored
+            SELECT p.probe, s.cell,
+                   GREATEST(ABS({i} - p.pi), ABS({j} - p.pj)) AS ring
+            FROM stored s, probes p
         ),
         ranked AS (
-            SELECT cell, ring, ROW_NUMBER() OVER (ORDER BY ring, cell) AS rank
+            SELECT probe, cell, ring,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY probe ORDER BY ring, cell
+                   ) AS rank
             FROM scored WHERE ring <= {max_ring}
         )
-        SELECT CAST({probe} AS BIGINT) AS probe, rank, cell, ring
+        SELECT probe, rank, cell, ring
         FROM ranked WHERE rank <= {k}
     """
 
