@@ -195,6 +195,20 @@ def run(spark) -> tuple[dict, dict]:
         lambda: embedding_dups(emb, 0.3, dim=64, n_planes=8, n_tables=4).count(),
     )
 
+    # q12: hyperplane-LSH ANN (bucketed equi-join + two-phase top-k)
+    from hexspark.embed import ann_topk_lsh
+
+    timed(
+        "q12_ann_lsh",
+        lambda: ann_topk_lsh(emb, q, 10, dim=64, n_planes=8, n_tables=4).count(),
+    )
+
+    # q13: tumbling-window event rollup (partial+final hash agg)
+    from hexspark.streaming import event_window_stats
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("q13_event_windows", lambda: event_window_stats(events).count())
+
     raw.unpersist()
     regions.unpersist()
     return timings, extras

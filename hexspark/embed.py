@@ -119,19 +119,31 @@ def ivf_index(
     return assigned, centroids
 
 
-def _nearest_centroids(qvec: Column, centroids: "np.ndarray", nprobe: int) -> Column:
+def _nearest_centroids(
+    qvec_col: str, centroids: "np.ndarray", nprobe: int
+) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (squared L2) as a
     native expression over centroid literals.  Distances round to 6
     decimals with centroid-id tie-break so the DuckDB twin (same
-    elementwise ops, same order) picks identical lists."""
-    dists = []
-    for i, c in enumerate(centroids):
-        plane = F.array(*[F.lit(float(v)) for v in c])
-        diff = F.zip_with(qvec.cast("array<double>"), plane, lambda a, b: (a - b) * (a - b))
-        d = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 6)
-        dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    arr = F.array_sort(F.array(*dists))
-    return F.slice(arr, 1, nprobe).getField("i")
+    elementwise ops, same order) picks identical lists.
+
+    Built as ONE ``F.expr`` SQL string: per-literal Column construction
+    costs thousands of py4j round trips of driver-side plan-build time
+    (same fix as :func:`hyperplane_signatures`)."""
+    structs = ", ".join(
+        "named_struct('d', ROUND(aggregate(zip_with("
+        "CAST(`{v}` AS ARRAY<DOUBLE>), array({p}),"
+        " (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x), 6), 'i', {i})".format(
+            v=qvec_col,
+            p=", ".join(repr(float(x)) + "D" for x in c),
+            i=i,
+        )
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.i)"
+    )
 
 
 def first_k_centroids(
@@ -185,13 +197,13 @@ def ann_topk_ivf(
         centroids = first_k_centroids(corpus, n_centroids, vec_col, key_col)
         assigned = corpus.withColumn(
             "centroid_id",
-            F.element_at(_nearest_centroids(F.col(vec_col), centroids, 1), 1),
+            F.element_at(_nearest_centroids(vec_col, centroids, 1), 1),
         )
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
     q = queries.withColumn(
         "centroid_id",
-        F.explode(_nearest_centroids(F.col(query_vec), centroids, nprobe)),
+        F.explode(_nearest_centroids(query_vec, centroids, nprobe)),
     )
     cand = assigned.join(F.broadcast(q), on="centroid_id", how="inner").drop("centroid_id")
     sim = F.round(
@@ -377,14 +389,23 @@ def hyperplane_signatures(
     residue."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
+    # one F.expr per table: building the 64 literals × planes × tables
+    # as individual Column ops costs thousands of py4j round trips
+    # (~5s of driver-side plan construction); a single SQL string per
+    # table parses JVM-side in one call with identical semantics
     buckets = []
     for t in range(n_tables):
-        sig = F.lit(t << n_planes).cast("long")
-        for i in range(n_planes):
-            plane = F.array(*[F.lit(float(v)) for v in planes[t, i]])
-            d = F.round(dot(F.col(vec_col).cast("array<double>"), plane), 6)
-            sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
-        buckets.append(sig)
+        bits = " + ".join(
+            "(CASE WHEN ROUND(aggregate(zip_with(CAST(`{v}` AS ARRAY<DOUBLE>),"
+            " array({p}), (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v), 6) > 0 THEN {b}L ELSE 0L END)".format(
+                v=vec_col,
+                p=", ".join(repr(float(x)) + "D" for x in planes[t, i]),
+                b=1 << i,
+            )
+            for i in range(n_planes)
+        )
+        buckets.append(F.expr(f"({t << n_planes}L + {bits})"))
     return df.withColumn("bucket", F.explode(F.array(*buckets)))
 
 
