@@ -443,16 +443,23 @@ def map_values(df: DataFrame, value_col: str, fn) -> DataFrame:
     return df.withColumn(value_col, fn(F.col(value_col)))
 
 
-def uncompact_df(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
+def uncompact_df(
+    df: DataFrame, res: int, cell_col: str = "cell", min_res: int = 0
+) -> DataFrame:
     """Expand every cell to all its descendants at resolution ``res``.
 
     Cells already at ``res`` pass through; finer cells are dropped
     (cannot demote).  Inverse of compaction for idempotence checks:
     ``compact(uncompact(compact(X), r)) == compact(X)`` when all of X
     is at res ``r``.
-    """
+
+    ``min_res``: the coarsest resolution present in ``df`` (when the
+    caller knows it) — skips building explode stages for levels below
+    it.  Iterative refiners (hexspark.geo.polyfill_hier) call this
+    once per level; without the bound the stacked plans grow
+    O(res²) explode stages."""
     out = df
-    for r in range(0, res):
+    for r in range(min_res, res):
         child_shift = (K.MAX_RES - (r + 1)) * K.DIGIT_BITS
         is_here = cx.res(cell_col) == r
         children = F.array([F.lit(d) for d in range(7)])

@@ -161,9 +161,14 @@ def point_in_polygon_np(
     return inside
 
 
-def pip_sql_predicate(lat: str, lon: str, polygon: Sequence[tuple[float, float]]) -> str:
-    """Dialect-neutral SQL twin of :func:`point_in_polygon_np` — an
-    odd/even sum of edge-crossing indicators, one term per edge."""
+def pip_sql_predicate(
+    lat: str, lon: str, polygon: Sequence[tuple[float, float]], flit=repr
+) -> str:
+    """SQL twin of :func:`point_in_polygon_np` — an odd/even sum of
+    edge-crossing indicators, one term per edge.  ``flit`` formats the
+    float literals: default ``repr`` (DuckDB parses bare decimals as
+    DOUBLE); pass :func:`_spark_flit` for Spark SQL, whose bare
+    decimals are DECIMAL and would change arithmetic."""
     n = len(polygon)
     terms = []
     for i in range(n):
@@ -171,10 +176,79 @@ def pip_sql_predicate(lat: str, lon: str, polygon: Sequence[tuple[float, float]]
         y2, x2 = polygon[(i + 1) % n]
         if y1 == y2:
             continue  # horizontal edge never crosses
-        xint = f"(({x2!r} - {x1!r}) * (({lat}) - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r})"
-        cross = f"((({y1!r} > ({lat})) <> ({y2!r} > ({lat}))) AND (({lon}) < {xint}))"
+        xint = (
+            f"(({flit(x2)} - {flit(x1)}) * (({lat}) - {flit(y1)})"
+            f" / ({flit(y2)} - {flit(y1)}) + {flit(x1)})"
+        )
+        cross = (
+            f"((({flit(y1)} > ({lat})) <> ({flit(y2)} > ({lat})))"
+            f" AND (({lon}) < {xint}))"
+        )
         terms.append(f"(CASE WHEN {cross} THEN 1 ELSE 0 END)")
     return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def _spark_flit(v: float) -> str:
+    """Spark-SQL double literal (``1.5D``) — bare ``1.5`` is DECIMAL."""
+    return f"{float(v)!r}D"
+
+
+def _segment_intersects_rect_sql(
+    x1: float, y1: float, x2: float, y2: float,
+    xmin: str, xmax: str, ymin: str, ymax: str,
+    flit=_spark_flit,
+) -> str:
+    """SQL-string twin of :func:`_segment_intersects_rect` (same
+    Liang-Barsky terms, sign branches resolved in Python)."""
+    dx, dy = x2 - x1, y2 - y1
+    enters = ["0.0D" if flit is _spark_flit else "0.0"]
+    exits = ["1.0D" if flit is _spark_flit else "1.0"]
+    par = []
+    if dx == 0:
+        par.append(f"(({flit(x1)} >= {xmin}) AND ({flit(x1)} <= {xmax}))")
+    else:
+        t1 = f"(({xmin} - {flit(x1)}) / {flit(dx)})"
+        t2 = f"(({xmax} - {flit(x1)}) / {flit(dx)})"
+        if dx < 0:
+            t1, t2 = t2, t1
+        enters.append(t1)
+        exits.append(t2)
+    if dy == 0:
+        par.append(f"(({flit(y1)} >= {ymin}) AND ({flit(y1)} <= {ymax}))")
+    else:
+        t1 = f"(({ymin} - {flit(y1)}) / {flit(dy)})"
+        t2 = f"(({ymax} - {flit(y1)}) / {flit(dy)})"
+        if dy < 0:
+            t1, t2 = t2, t1
+        enters.append(t1)
+        exits.append(t2)
+    hit = (
+        f"(GREATEST({', '.join(enters)}) <= LEAST({', '.join(exits)}))"
+        if len(enters) > 1
+        else "TRUE"
+    )
+    for c in par:
+        hit = f"({hit} AND {c})"
+    return hit
+
+
+def _polygon_crosses_rect_sql(
+    polygon: Sequence[tuple[float, float]],
+    xmin: str, xmax: str, ymin: str, ymax: str,
+    flit=_spark_flit,
+) -> str:
+    """SQL-string twin of :func:`_polygon_crosses_rect`."""
+    n = len(polygon)
+    parts = []
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        parts.append(
+            _segment_intersects_rect_sql(
+                x1, y1, x2, y2, xmin, xmax, ymin, ymax, flit
+            )
+        )
+    return "(" + " OR ".join(parts) + ")"
 
 
 def pip_column(lat: Column, lon: Column, polygon: Sequence[tuple[float, float]]) -> Column:
@@ -359,28 +433,36 @@ def polyfill_hier(
     inside_acc: list[DataFrame] = []
     for r in range(r0, res):
         rect, px, py = _cell_rect_df(cur, r)
-        xmin, ymin = F.col("__xmin"), F.col("__ymin")
-        xmax, ymax = xmin + px, ymin + py
-        corners = (
-            pip_column(ymin, xmin, polygon).cast("int")
-            + pip_column(ymin, xmax, polygon).cast("int")
-            + pip_column(ymax, xmin, polygon).cast("int")
-            + pip_column(ymax, xmax, polygon).cast("int")
+        # whole classify step as TWO F.expr SQL strings: building the
+        # 4 corner-PIPs + Liang-Barsky per edge as Column ops costs
+        # thousands of py4j round trips per level (pure driver-side
+        # plan-construction latency); the SQL string parses JVM-side
+        # in one call with identical arithmetic (D-suffixed doubles)
+        xmin, ymin = "(__xmin)", "(__ymin)"
+        xmax = f"((__xmin) + {_spark_flit(px)})"
+        ymax = f"((__ymin) + {_spark_flit(py)})"
+        corners = " + ".join(
+            f"(CASE WHEN {pip_sql_predicate(la, lo, polygon, _spark_flit)}"
+            " THEN 1 ELSE 0 END)"
+            for la, lo in [(ymin, xmin), (ymin, xmax), (ymax, xmin), (ymax, xmax)]
         )
-        crossed = _polygon_crosses_rect(polygon, xmin, xmax, ymin, ymax)
+        crossed = _polygon_crosses_rect_sql(polygon, xmin, xmax, ymin, ymax)
         tagged = rect.select(
             "cell",
-            ((corners == 4) & ~crossed).alias("__in"),
-            ((corners == 0) & ~crossed).alias("__out"),
+            F.expr(f"((({corners}) = 4) AND NOT {crossed})").alias("__in"),
+            F.expr(f"((({corners}) = 0) AND NOT {crossed})").alias("__out"),
         ).persist()
         inside_acc.append(tagged.filter(F.col("__in")).select("cell"))
         boundary = tagged.filter(~F.col("__in") & ~F.col("__out")).select("cell")
-        cur = bx.uncompact_df(boundary, r + 1)
+        cur = bx.uncompact_df(boundary, r + 1, min_res=r)
     # target res: boundary cells take the centroid test
     rect, px, py = _cell_rect_df(cur, res)
-    centroid_in = pip_column(
-        F.col("__ymin") + py / 2.0, F.col("__xmin") + px / 2.0, polygon
-    )
+    centroid_in = F.expr(pip_sql_predicate(
+        f"((__ymin) + {_spark_flit(py / 2.0)})",
+        f"((__xmin) + {_spark_flit(px / 2.0)})",
+        polygon,
+        _spark_flit,
+    ))
     out = rect.filter(centroid_in).select("cell")
     if inside_acc:
         # union the mixed-res inside subtrees and expand them in ONE
@@ -389,7 +471,7 @@ def polyfill_hier(
         inside = inside_acc[0]
         for ins in inside_acc[1:]:
             inside = inside.unionByName(ins)
-        out = out.unionByName(bx.uncompact_df(inside, res))
+        out = out.unionByName(bx.uncompact_df(inside, res, min_res=r0))
     return out.distinct()
 
 
