@@ -77,16 +77,14 @@ def dedupe_cells(
     return df.groupBy(cell_col).agg(agg(value_col).alias(value_col))
 
 
-def drop_covered(df: DataFrame, cell_col: str = "cell") -> DataFrame:
-    """Drop cells covered by a strict ancestor also present in ``df``.
-
-    Single window pass: sorted by (lo asc, res asc), every possible
-    ancestor of a row precedes it, so the row is covered iff the
+def _drop_covered_window(df: DataFrame, cell_col: str, part_expr) -> DataFrame:
+    """One ancestor-wins window pass partitioned by ``part_expr``:
+    sorted by (lo asc, res asc), every possible ancestor of a row *in
+    the same partition* precedes it, so the row is covered iff the
     running max of ``hi`` over preceding rows reaches its own ``hi``.
-    No explode, no self-join.
-    """
+    No explode, no self-join."""
     w = (
-        Window.partitionBy(cx.base_cell(cell_col))
+        Window.partitionBy(part_expr)
         .orderBy(F.col("__lo").asc(), F.col("__res").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -98,6 +96,49 @@ def drop_covered(df: DataFrame, cell_col: str = "cell") -> DataFrame:
         .filter(F.col("__maxhi").isNull() | (F.col("__maxhi") < F.col("__hi")))
         .drop("__lo", "__hi", "__res", "__maxhi")
     )
+
+
+def drop_covered(
+    df: DataFrame, cell_col: str = "cell", prefix_res: Optional[int] = None
+) -> DataFrame:
+    """Drop cells covered by a strict ancestor also present in ``df``.
+
+    Default: one window pass partitioned by base cell — parallelism
+    caps at the 122 roots, which is right for broadcast-scale region
+    tables (the engine's stated contract) but makes one dense base a
+    straggler on a continent-scale *raw* res-15 ingest.
+
+    ``prefix_res=B`` is the scale path for such ingests: rows at
+    ``res >= B`` window within their res-``B`` prefix group (every
+    ancestor at res ≥ B shares the prefix, so the split is exact) —
+    up to 122·7^B partitions instead of 122.  The few rows coarser
+    than B (bounded above by the total cell count at res < B, ≤ ~50k
+    for B=4) get their own base-partitioned pass, then prune their
+    fine descendants through B chained broadcast anti-joins — the
+    boundary fix-up.  Output is identical to the default path (tested)."""
+    if prefix_res is None or prefix_res <= 0:
+        return _drop_covered_window(df, cell_col, cx.base_cell(cell_col))
+    res_c = cx.res(cell_col)
+    coarse = df.filter(res_c < prefix_res)
+    fine = df.filter(res_c >= prefix_res)
+    # coarse-vs-coarse: tiny by construction — base window suffices
+    coarse_kept = _drop_covered_window(coarse, cell_col, cx.base_cell(cell_col))
+    # fine-vs-fine within the shared res-B prefix
+    fine_kept = _drop_covered_window(
+        fine, cell_col, cx.to_parent(cell_col, prefix_res)
+    )
+    # fine-vs-coarse boundary fix-up: a fine row under any coarse cell
+    # is covered; coarse cells can never be covered by finer rows
+    for r in range(prefix_res):
+        anc_r = coarse_kept.filter(res_c == r).select(
+            F.col(cell_col).alias("__anc")
+        )
+        fine_kept = fine_kept.join(
+            F.broadcast(anc_r),
+            cx.to_parent(F.col(cell_col), r) == F.col("__anc"),
+            "left_anti",
+        )
+    return fine_kept.unionByName(coarse_kept)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +296,7 @@ def build_region(
     value_col: Optional[str] = None,
     compactor: str = "set",
     dedupe_policy: str = "min",
+    prefix_res: Optional[int] = None,
 ) -> DataFrame:
     """Full build pipeline: validate → dedupe → ancestor-wins → compact.
 
@@ -264,10 +306,14 @@ def build_region(
     (/root/reference/src/hex_tree_map.rs:291-331) under the declared
     deterministic batch conflict policy (coarsest cell wins; exact
     duplicates resolve by ``dedupe_policy``).
+
+    ``prefix_res``: pass a small B (e.g. 4) for continent-scale raw
+    fine-res ingests — sub-partitions the ancestor-wins pass past the
+    122 base roots (see :func:`drop_covered`).  Output identical.
     """
     valid, _ = validate_cells(df, cell_col)
     deduped = dedupe_cells(valid, cell_col, value_col, dedupe_policy)
-    pruned = drop_covered(deduped, cell_col)
+    pruned = drop_covered(deduped, cell_col, prefix_res=prefix_res)
     return compact_df(pruned, cell_col, value_col, compactor)
 
 

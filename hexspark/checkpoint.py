@@ -23,6 +23,7 @@ stage declares them.
 from __future__ import annotations
 
 import json
+import os
 import posixpath
 import time
 from typing import Callable, Optional
@@ -34,7 +35,13 @@ MANIFEST = "_hexspark_manifest.json"
 
 
 def _fs_for(root: str) -> tuple[pafs.FileSystem, str]:
-    """Resolve (filesystem, in-fs path) for a path or URI."""
+    """Resolve (filesystem, in-fs path) for a path or URI.
+
+    Relative local roots are normalized to absolute first —
+    ``FileSystem.from_uri`` rejects them, but plain relative paths were
+    always a valid checkpoint root for local runs."""
+    if "://" not in root:
+        root = os.path.abspath(root)
     return pafs.FileSystem.from_uri(root)
 
 
@@ -89,10 +96,14 @@ class Checkpointer:
         return d, posixpath.join(d, MANIFEST)
 
     def _read_json(self, path: str) -> Optional[dict]:
+        """Missing manifest → None (stage incomplete).  Only not-found
+        maps to None: a transient S3/HDFS IO or auth failure must
+        propagate, not silently trigger recompute+overwrite of a
+        finished stage."""
         try:
             with self._fs.open_input_stream(path) as f:
                 return json.loads(f.read().decode("utf-8"))
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             return None
 
     def is_complete(self, name: str) -> bool:

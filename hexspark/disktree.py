@@ -86,6 +86,10 @@ def _dptr_read(buf: bytes, pos: int) -> int:
 
 
 def _dptr_bytes(v: int) -> bytes:
+    # the reference's Dp::from asserts raw <= 2^40-1 (disktree/dptr.rs);
+    # silently truncating would corrupt any >1 TiB file
+    if v >= 1 << (8 * DPTR_SZ):
+        raise ValueError(f"disk pointer {v} exceeds 5-byte range (file > 1 TiB)")
     return v.to_bytes(8, "little")[:DPTR_SZ]
 
 

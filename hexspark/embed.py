@@ -101,19 +101,27 @@ def ivf_index(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_sample_rows: int = 1_000_000,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: seeded MLlib KMeans centroids; returns the
     corpus tagged with its nearest-centroid id plus the centroid matrix.
 
-    The fit runs on a sample-scale pass (KMeans over feature vectors);
-    assignment is a deterministic argmin over centroid literals —
-    at 10^12 rows the fit uses a sample, the assign is one map."""
+    The fit is bounded: KMeans runs over at most ``fit_sample_rows``
+    vectors (``limit`` — one bounded LocalLimit pass, no count job), so
+    at 10^12 rows the fit cost is capped while assignment stays a
+    shuffle-free full-corpus map.  Centroid quality from a 10^6-row
+    sample is statistically indistinguishable for coarse quantization
+    (n_centroids ≪ sample size).  Pass ``fit_sample_rows=None`` to
+    force a full-corpus fit."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     src = corpus.withColumn("__feat", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_src = src.select("__feat")
+    if fit_sample_rows is not None:
+        fit_src = fit_src.limit(int(fit_sample_rows))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="centroid_id")
-    model = km.fit(src)
+    model = km.fit(fit_src)
     assigned = model.transform(src).drop("__feat")
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
     return assigned, centroids

@@ -634,42 +634,19 @@ def ij_to_cell(i: Column, j: Column, res: int) -> Column:
     return cx.make_cell(base, F.lit(res).cast("long"), digits)
 
 
-def knn_rings(
-    stored: DataFrame,
-    probes,
-    k: int,
-    max_ring: int = 8,
-    cell_col: str = "cell",
-    probe_col: str = "probe",
-    res: Optional[int] = None,
+def _ring_disk(
+    probes: DataFrame, probe_col: str, cell_col: str, res: int, radius: int
 ) -> DataFrame:
-    """J7 kNN, reference recipe: expand each probe's k-ring disks,
-    broadcast-join against the stored cell set, rank by ring then cell.
-
-    Exact for ring-metric kNN whenever k neighbors exist within
-    ``max_ring`` (widen otherwise).  ``probes`` is a DataFrame with a
-    ``probe_col`` cell column (a python list of cells is accepted and
-    wrapped).  The ring disks are generated *Spark-side*: decode each
-    probe to lattice coords (native Columns), cross the ±max_ring
-    offset sequences, re-encode — no driver loop, so a probe *table*
-    works; the stored side (the big table) never shuffles, the tiny
-    (probes × (2R+1)²)-row disk relation broadcasts.  The final
-    per-probe rank is the two-phase top-k (hexspark.topk) — no global
-    per-probe window sort."""
-    from .topk import topk_per_key
-
-    spark = stored.sparkSession
-    if isinstance(probes, (list, tuple)):
-        probes = spark.createDataFrame(
-            [(int(p),) for p in probes], f"{probe_col}: long"
-        )
-    if res is None:
-        res = int(probes.select(cx.res(probe_col).alias("r")).first()["r"])
+    """(probe, cell, ring) relation: every lattice cell within Chebyshev
+    distance ``radius`` of each probe, generated Spark-side — decode
+    each probe to lattice coords (native Columns), cross the ±radius
+    offset sequences, re-encode.  No driver loop, so a probe *table*
+    works."""
     xl, yl = _axis_levels(res)
     ni, nj = GRID_DIM * 7**xl, GRID_DIM * 7**yl
     pi, pj = cell_to_ij(F.col(probe_col), res)
-    offs = F.sequence(F.lit(-max_ring), F.lit(max_ring))
-    ring_df = (
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    return (
         probes.select(probe_col, pi.alias("__pi"), pj.alias("__pj"))
         .withColumn("__di", F.explode(offs))
         .withColumn("__dj", F.explode(offs))
@@ -689,14 +666,122 @@ def knn_rings(
             "ring",
         )
     )
-    joined = stored.join(F.broadcast(ring_df), on=cell_col, how="inner")
-    return topk_per_key(
-        joined,
-        keys=[probe_col],
-        order=[F.col("ring"), F.col(cell_col)],
-        payload=[cell_col, "ring"],
-        k=k,
-    )
+
+
+def knn_rings(
+    stored: DataFrame,
+    probes,
+    k: int,
+    max_ring: int = 8,
+    cell_col: str = "cell",
+    probe_col: str = "probe",
+    res: Optional[int] = None,
+    broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """J7 kNN, reference recipe: expand each probe's k-ring disks, join
+    against the stored cell set, rank by ring then cell.
+
+    Exact for ring-metric kNN whenever k neighbors exist within
+    ``max_ring`` (widen otherwise).  ``probes`` is a DataFrame with a
+    ``probe_col`` cell column (a python list of cells is accepted and
+    wrapped).  The final per-probe rank is always the two-phase top-k
+    (hexspark.topk) — no global per-probe window sort.
+
+    The disk relation is probes × (2R+1)² rows, so its physical form is
+    chosen by size (mirrors ``join.get_auto``'s measured-form-chooser):
+
+    * small (≤ ``broadcast_rows``): ONE pass — broadcast the full-radius
+      disk relation; the stored side (the big table) never shuffles.
+      This is the reference's shape (a handful of probes).
+    * large (a probe *table* × a wide ``max_ring``): iterative
+      **ring-doubling** — start at the widest radius whose disk still
+      fits the broadcast budget, keep only probes that found < k
+      neighbors, double the radius, repeat.  Each round's disk stays
+      bounded; most probes resolve in the first round (k hits inside a
+      small disk finalize the top-k: any cell beyond radius R ranks
+      below R in-disk hits).  A round whose shrunken probe set still
+      exceeds the budget falls back to a shuffle equi-join on the cell
+      key for that round — never an unbounded broadcast.
+    """
+    from .topk import topk_per_key
+
+    spark = stored.sparkSession
+    if isinstance(probes, (list, tuple)):
+        probes = spark.createDataFrame(
+            [(int(p),) for p in probes], f"{probe_col}: long"
+        )
+    stats = probes.agg(
+        F.count("*").alias("n"),
+        F.collect_set(cx.res(probe_col)).alias("rs"),
+    ).first()
+    n_probes = int(stats["n"])
+    res_set = sorted(int(r) for r in stats["rs"])
+    if n_probes == 0:
+        # empty probe table: empty result with the contract schema
+        return probes.select(
+            F.col(probe_col),
+            F.lit(0).cast("long").alias("rank"),
+            F.col(probe_col).alias(cell_col),
+            F.lit(0).cast("long").alias("ring"),
+        )
+    if len(res_set) > 1:
+        raise ValueError(
+            f"knn_rings: mixed probe resolutions {res_set} — ring lattices"
+            " are per-resolution; split the probe table by res() first"
+        )
+    if res is None:
+        res = res_set[0]
+    elif res_set != [res]:
+        raise ValueError(
+            f"knn_rings: probe resolutions {res_set} != declared res {res}"
+        )
+
+    def disk_rows(n: int, r: int) -> int:
+        return n * (2 * r + 1) ** 2
+
+    def join_round(sub: DataFrame, radius: int, n: int) -> DataFrame:
+        ring_df = _ring_disk(sub, probe_col, cell_col, res, radius)
+        if disk_rows(n, radius) <= broadcast_rows:
+            ring_df = F.broadcast(ring_df)
+        joined = stored.join(ring_df, on=cell_col, how="inner")
+        return topk_per_key(
+            joined,
+            keys=[probe_col],
+            order=[F.col("ring"), F.col(cell_col)],
+            payload=[cell_col, "ring"],
+            k=k,
+        )
+
+    if disk_rows(n_probes, max_ring) <= broadcast_rows:
+        return join_round(probes.select(probe_col), max_ring, n_probes)
+
+    # widest starting radius whose disk fits the broadcast budget
+    r0 = int(((broadcast_rows / n_probes) ** 0.5 - 1) // 2)
+    radius = max(1, min(r0, max_ring))
+    remaining = probes.select(probe_col)
+    n_rem = n_probes
+    resolved: list[DataFrame] = []
+    while True:
+        part = join_round(remaining, radius, n_rem).localCheckpoint()
+        if radius >= max_ring:
+            resolved.append(part)
+            break
+        done = (
+            part.groupBy(probe_col)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select(probe_col)
+        )
+        resolved.append(part.join(done, on=probe_col, how="leftsemi"))
+        remaining = remaining.join(done, on=probe_col, how="leftanti").localCheckpoint()
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        radius = min(radius * 2, max_ring)
+    out = resolved[0]
+    for p in resolved[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def cell_to_ij(cell: Column, res: int) -> tuple[Column, Column]:

@@ -10,7 +10,6 @@ partitioning, UDF signature) is real and tested.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -63,20 +62,46 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _seed_batch(payloads: list) -> np.ndarray:
+    """Per-payload 64-bit seeds over a WHOLE batch with zero per-row
+    Python computation: one C-level byte concat, then a *segmented*
+    wrapping polynomial hash — per-byte terms ``(b+1)·P^pos`` (FNV-prime
+    powers via ``cumprod``) reduced per payload by ``np.add.reduceat``,
+    finally mixed with the payload length through splitmix64."""
+    n = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    data = np.frombuffer(
+        b"".join(bytes(p) for p in payloads), dtype=np.uint8
+    ).astype(np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    if len(data):
+        pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
+        pw = np.empty(int(lens.max()) + 1, dtype=np.uint64)
+        pw[0] = 1
+        np.cumprod(np.full(int(lens.max()), 0x100000001B3, dtype=np.uint64), out=pw[1:])
+        terms = (data + np.uint64(1)) * pw[pos]
+        # reduceat: clip trailing-empty-segment starts in range, then
+        # zero empty segments (reduceat yields terms[start] for them)
+        h = np.add.reduceat(terms, np.minimum(starts, len(data) - 1))
+        h[lens == 0] = 0
+    else:
+        h = np.zeros(n, dtype=np.uint64)
+    return _splitmix64(h ^ _splitmix64(lens.astype(np.uint64)))
+
+
 def _decode_stub_batch(payloads: list, dim: int) -> np.ndarray:
-    """Deterministic fake decoder over a WHOLE Arrow batch: per-row
-    sha256 (C-speed) seeds a vectorized counter-mode hash expansion —
-    one numpy pass produces the (n_rows × dim) feature matrix, no
-    per-row Python RNG construction.  Replace with a real codec
-    (PIL/torchaudio/pyav) where available — keep this per-batch shape."""
+    """Deterministic fake decoder over a WHOLE Arrow batch: vectorized
+    segmented payload hash (:func:`_seed_batch`) seeds a vectorized
+    counter-mode expansion — one numpy pass produces the (n_rows × dim)
+    feature matrix, no per-row Python anywhere.  Replace with a real
+    codec (PIL/torchaudio/pyav) where available — keep this per-batch
+    shape."""
     if HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("wire a real codec here")
     if not payloads:
         return np.empty((0, dim), dtype=np.float32)
-    seeds = np.frombuffer(
-        b"".join(hashlib.sha256(bytes(p)).digest()[:8] for p in payloads),
-        dtype="<u8",
-    )
+    seeds = _seed_batch(payloads)
     ctr = seeds[:, None] + np.arange(1, dim + 1, dtype=np.uint64)[None, :]
     z = _splitmix64(ctr)
     u = (z >> np.uint64(11)).astype(np.float64) * 2.0 ** -53  # [0, 1)

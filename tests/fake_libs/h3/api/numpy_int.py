@@ -30,10 +30,9 @@ def _grid(lat, lon, res):
 
 
 def latlng_to_cell(lat, lon, res):
+    # scalar inputs always take the scalar path, in both shim modes
     if np.ndim(lat) == 0:
-        if SCALAR_ONLY or True:  # scalar path always works
-            out = _scalar(float(lat), float(lon), res)
-            return np.uint64(out)
+        return np.uint64(_scalar(float(lat), float(lon), res))
     if SCALAR_ONLY:
         raise TypeError("latlng_to_cell: scalar-only build (shim)")
     lat = np.asarray(lat, dtype=np.float64)

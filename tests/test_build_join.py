@@ -398,3 +398,51 @@ def test_descendants_join_chained_equals_range(spark, monaco):
     # the deeper probes must each resolve to their covering res-12 leaf
     got_deeper = {p for (p, _, _) in rows_a if p in set(int(x) for x in deeper14)}
     assert got_deeper == {int(x) for x in deeper14}
+
+
+def _rand_cells_one_base(rng, n, res, base=20):
+    """Random res-`res` cells all under ONE base — the worst-case skew
+    for the base-partitioned ancestor-wins window."""
+    digits = np.full(n, K.trailing_mask(res), dtype=np.int64)
+    for i in range(res):
+        digits += rng.integers(0, 7, size=n).astype(np.int64) << (
+            (K.MAX_RES - 1 - i) * K.DIGIT_BITS
+        )
+    head = (
+        (K.MODE_CELL << K.MODE_OFFSET)
+        | (base << K.BASE_OFFSET)
+        | (res << K.RES_OFFSET)
+    )
+    return head | digits
+
+
+def test_drop_covered_prefix_partition_equals_default(spark):
+    """Scale path for the ancestor-wins pass: prefix_res=B windows by
+    the res-B prefix (122·7^B partitions, not 122) with a coarse-row
+    boundary fix-up — output must be identical to the single-base-window
+    default on a heavily skewed single-base input with planted ancestors
+    both above and below the prefix boundary."""
+    rng = np.random.default_rng(7)
+    fine = _rand_cells_one_base(rng, 300_000, 12)           # dense leaves
+    mid = np.unique(cnp.to_parent(fine[:20_000], 8))        # covers many
+    near = np.unique(cnp.to_parent(fine[50_000:52_000], 4)) # at boundary
+    coarse = np.unique(cnp.to_parent(fine[100_000:101_000], 2))  # below B
+    all_cells = np.unique(np.concatenate([fine, mid, near, coarse]))
+    df = spark.createDataFrame(
+        [(int(c),) for c in all_cells.tolist()], "cell: long"
+    ).repartition(32)
+    a = sorted(r["cell"] for r in bx.drop_covered(df).collect())
+    b = sorted(r["cell"] for r in bx.drop_covered(df, prefix_res=4).collect())
+    assert a == b and 0 < len(a) < len(all_cells)
+    # the planted coarse rows survive and have pruned all descendants
+    surv = np.array(a, dtype=np.int64)
+    assert np.isin(coarse, surv).all()
+    deeper = surv[cnp.res(surv) > 2]
+    assert not np.isin(cnp.to_parent(deeper, 2), coarse).any()
+    # full-pipeline equivalence: build_region with and without prefix_res
+    r1 = sorted(r["cell"] for r in bx.build_region(df, compactor="set").collect())
+    r2 = sorted(
+        r["cell"]
+        for r in bx.build_region(df, compactor="set", prefix_res=4).collect()
+    )
+    assert r1 == r2

@@ -115,6 +115,52 @@ def test_knn_rings_probe_table(spark):
         assert sorted(by_probe[int(p)]) == want, int(p)
 
 
+def test_knn_rings_large_probe_table_bounded_broadcast(spark):
+    """Scale path: >=10^4 probe rows with a wide max_ring must NOT build
+    the probes×(2R+1)² disk in one broadcast — the ring-doubling form
+    starts at a budget-bounded radius and widens only unresolved probes.
+    Results must still equal the Chebyshev oracle exactly."""
+    pts_lat = RNG.uniform(-10, 10, 20000)
+    pts_lon = RNG.uniform(-10, 10, 20000)
+    cells = np.unique(grid_encode_np(pts_lat, pts_lon, 6))
+    stored = spark.createDataFrame([(int(c),) for c in cells], "cell: long")
+    pr_lat = RNG.uniform(-9, 9, 30000)
+    pr_lon = RNG.uniform(-9, 9, 30000)
+    uniq_probes = np.unique(grid_encode_np(pr_lat, pr_lon, 6))
+    assert len(uniq_probes) >= 10_000
+    probes = spark.createDataFrame([(int(p),) for p in uniq_probes], "probe: long")
+    # budget 500k rows: single-pass would need >=10^4 × 129² ≈ 10^9 rows
+    out = knn_rings(
+        stored, probes, k=3, max_ring=64, res=6, broadcast_rows=500_000
+    )
+    rows = out.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe"], []).append((r["rank"], r["cell"], r["ring"]))
+    assert len(by_probe) == len(uniq_probes)
+    # exactness vs the numpy Chebyshev oracle on a deterministic sample
+    for p in uniq_probes[:: max(1, len(uniq_probes) // 200)]:
+        dd = grid_ring_distance_np(cells, np.full(len(cells), p, dtype=np.int64))
+        order = np.lexsort((cells, dd))
+        want = [(rk + 1, int(cells[order[rk]]), int(dd[order[rk]])) for rk in range(3)]
+        assert sorted(by_probe[int(p)]) == want, int(p)
+
+
+def test_knn_rings_empty_and_mixed_res_probes(spark):
+    stored = spark.createDataFrame([(int(c),) for c in grid_encode_np(LAT[:20], LON[:20], 5)], "cell: long")
+    empty = spark.createDataFrame([], "probe: long")
+    out = knn_rings(stored, empty, k=3, max_ring=10)
+    assert out.count() == 0
+    assert out.columns == ["probe", "rank", "cell", "ring"]
+    c5 = int(grid_encode_np(np.array([0.0]), np.array([0.0]), 5)[0])
+    c7 = int(grid_encode_np(np.array([0.0]), np.array([0.0]), 7)[0])
+    mixed = spark.createDataFrame([(c5,), (c7,)], "probe: long")
+    with pytest.raises(ValueError, match="mixed probe resolutions"):
+        knn_rings(stored, mixed, k=3, max_ring=10)
+    with pytest.raises(ValueError, match="!= declared res"):
+        knn_rings(stored, mixed.filter(F.col("probe") == c7), k=3, max_ring=10, res=5)
+
+
 def test_ij_to_cell_column_matches_numpy(spark):
     from hexspark.geo import ij_to_cell
 
