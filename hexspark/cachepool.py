@@ -1,0 +1,54 @@
+"""Bounded lifetime for operator-internal ``persist()`` barriers.
+
+Operators like ``geo.polyfill_hier``, ``dedup.lsh_candidates`` and
+``embed.embedding_dups`` persist intermediate relations as plan
+barriers / compute-once nodes.  Those caches must outlive the function
+(the caller materializes the returned lazy DataFrame later), so they
+can't be unpersisted on exit — but left alone they accumulate for the
+session lifetime in long-running drivers that call the operator
+repeatedly.
+
+A :class:`CachePool` bounds that: each operator keeps one pool, and a
+new call retires the previous call's generation (async unpersist).  At
+any moment at most one invocation's worth of blocks is cached per
+operator.  Callers that interleave two live results of the SAME
+operator should materialize the first before computing the second (the
+usual pattern), or persist the result themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class CachePool:
+    def __init__(self, keep_generations: int = 1):
+        self._gens: list[list[DataFrame]] = []
+        self._keep = keep_generations
+
+    def new_generation(self) -> None:
+        """Start a new call: retire generations beyond ``keep``."""
+        self._gens.append([])
+        while len(self._gens) > self._keep + 1:
+            for df in self._gens.pop(0):
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+
+    def add(self, df: DataFrame) -> DataFrame:
+        """Register a persisted DataFrame with the current generation."""
+        if not self._gens:
+            self._gens.append([])
+        self._gens[-1].append(df)
+        return df
+
+    def clear(self) -> None:
+        """Unpersist everything (explicit release, e.g. app shutdown)."""
+        for gen in self._gens:
+            for df in gen:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+        self._gens = []

@@ -13,10 +13,15 @@ plans with map-side partial aggregation and AQE skew handling.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cachepool import CachePool
 from .text import fingerprint, dd_fingerprint
+
+_LSH_POOL = CachePool()
 
 # md5-prefix → int64: both engines can take the first 15 hex chars
 # (60 bits, fits BIGINT exactly).
@@ -99,6 +104,7 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     key_col: str = "doc_id",
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """All doc pairs (a < b) with n-gram Jaccard >= threshold_pct/100.
 
@@ -106,12 +112,31 @@ def jaccard_pairs(
     (inverted index — the shuffle key is the shingle, so common-shingle
     skew is handled by AQE skew-join), count intersections, compute
     |A∩B| / (|A|+|B|-|A∩B|) with integer cross-multiplication (no
-    floats → exact oracle parity)."""
+    floats → exact oracle parity).
+
+    ``max_df``: optional document-frequency cutoff — shingles appearing
+    in more than ``max_df`` docs are dropped from the *intersection*
+    join (the standard exact-join guard: one ubiquitous shingle's
+    posting list is quadratic in its df; a df-10^6 shingle alone would
+    emit ~5·10^11 pairs).  Denominator sizes still count every shingle,
+    so the capped intersection only *under*-counts Jaccard: the cut is
+    strictly conservative — no spurious pairs, but pairs whose overlap
+    rides mostly on ultra-common shingles can be missed (recall on
+    planted near-dups is measured by tests).  ``None`` (default) =
+    byte-identical exact output."""
     ex = (
         docs.select(F.col(key_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
         .distinct()
     )
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        rare = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        ex = ex.join(rare, on="sh", how="leftsemi")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -191,7 +216,9 @@ def lsh_candidates(
     The banded relation feeds *both* sides of the self-join, and its
     lineage includes the whole minhash pipeline (shingle explode +
     groupBy) — ``cache=True`` persists it so that pipeline runs once,
-    not twice (MEMORY_AND_DISK; Spark evicts under pressure)."""
+    not twice (MEMORY_AND_DISK; Spark evicts under pressure).  The
+    persist is pooled (hexspark.cachepool): each call retires the
+    blocks of two calls ago instead of leaking them for the session."""
     pieces = []
     for b in range(bands):
         cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -208,7 +235,8 @@ def lsh_candidates(
     if cache:
         from pyspark import StorageLevel
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        _LSH_POOL.new_generation()
+        banded = _LSH_POOL.add(banded.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

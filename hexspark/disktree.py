@@ -197,7 +197,53 @@ def write_disktree(
 # reader
 # ---------------------------------------------------------------------------
 
-def _check_header(buf: bytes) -> None:
+class _FileBuf:
+    """Bytes-like view over an open file: integer and slice indexing
+    via seek+read — the lazy-paging analogue of the reference's
+    ``DiskTreeMap`` which never loads the file wholly
+    (/root/reference/src/disktree/tree.rs:33-37).  Tracks
+    ``bytes_read`` so tests can assert sub-linear access."""
+
+    def __init__(self, f):
+        self._f = f
+        self.bytes_read = 0
+
+    def __getitem__(self, k):
+        if isinstance(k, slice):
+            start = k.start or 0
+            self._f.seek(start)
+            n = max(0, k.stop - start)
+            self.bytes_read += n
+            return self._f.read(n)
+        self._f.seek(k)
+        b = self._f.read(1)
+        if not b:
+            raise IndexError(k)
+        self.bytes_read += 1
+        return b[0]
+
+
+class _OffsetBuf:
+    """Bytes-like over one base subtree's contiguous span, indexed by
+    ABSOLUTE file offsets (child dptrs are absolute)."""
+
+    def __init__(self, data: bytes, offset: int):
+        self._d = data
+        self._o = offset
+
+    def __getitem__(self, k):
+        if isinstance(k, slice):
+            start = (k.start or 0) - self._o
+            if start < 0:
+                raise IndexError(k.start)
+            return self._d[start : k.stop - self._o]
+        i = k - self._o
+        if i < 0:
+            raise IndexError(k)
+        return self._d[i]
+
+
+def _check_header(buf) -> None:
     if buf[: len(HDR_MAGIC)] != HDR_MAGIC:
         raise ValueError("not a disktree file (bad magic)")
     version = 0xFE - buf[len(HDR_MAGIC)]
@@ -218,36 +264,100 @@ def _cell_from_path(base: int, digs: list[int]) -> int:
     )
 
 
+def _walk(buf, pos: int, base: int, digs: list[int], value_de):
+    """DFS over one subtree of a (bytes-like) disktree buffer."""
+    first = buf[pos]
+    if first & 0x80:  # parent
+        present = [d for d in range(7) if (first >> d) & 1]
+        p = pos + 1
+        for d in present:
+            dp = _dptr_read(buf, p)
+            p += DPTR_SZ
+            yield from _walk(buf, dp, base, digs + [d], value_de)
+    else:
+        vlen, n = varint_read(buf, pos)
+        vb = buf[pos + n : pos + n + vlen]
+        yield _cell_from_path(base, digs), (
+            value_de(vb) if value_de else bytes(vb)
+        )
+
+
+def _base_ptrs(buf) -> list[int]:
+    hdr = len(HDR_MAGIC) + 1
+    return [_dptr_read(buf, hdr + DPTR_SZ * b) for b in range(NUM_BASE)]
+
+
 def iter_disktree(
-    path: str, value_de: Optional[Callable[[bytes], object]] = de_i64
+    path: str,
+    value_de: Optional[Callable[[bytes], object]] = de_i64,
+    stream: bool = False,
 ):
     """Yield (cell, value) in the file's DFS order — which equals the
-    reference's iteration order (== ascending ``lo``)."""
+    reference's iteration order (== ascending ``lo``).
+
+    ``stream=True`` never materializes the file: per-base subtrees are
+    read span-at-a-time via the 5-byte base pointers (subtrees are
+    written contiguously in base order — both this writer and the
+    reference's, writer.rs:55-70), so peak memory is one base subtree,
+    not the file.  The path for reference-produced multi-GB files that
+    would OOM the whole-buffer codec."""
+    if not stream:
+        with open(path, "rb") as f:
+            buf = f.read()
+        _check_header(buf)
+        for b, dp in enumerate(_base_ptrs(buf)):
+            if dp != 0:
+                yield from _walk(buf, dp, b, [], value_de)
+        return
     with open(path, "rb") as f:
-        buf = f.read()
-    _check_header(buf)
-    hdr = len(HDR_MAGIC) + 1
+        fbuf = _FileBuf(f)
+        _check_header(fbuf)
+        ptrs = _base_ptrs(fbuf)
+        size = f.seek(0, 2)
+        for b, dp, span_end in _base_spans(ptrs, size):
+            f.seek(dp)
+            sub = _OffsetBuf(f.read(span_end - dp), dp)
+            yield from _walk(sub, dp, b, [], value_de)
 
-    def walk(pos: int, base: int, digs: list[int]):
-        first = buf[pos]
-        if first & 0x80:  # parent
-            present = [d for d in range(7) if (first >> d) & 1]
-            p = pos + 1
-            for d in present:
-                dp = _dptr_read(buf, p)
-                p += DPTR_SZ
-                yield from walk(dp, base, digs + [d])
-        else:
-            vlen, n = varint_read(buf, pos)
-            vb = buf[pos + n : pos + n + vlen]
-            yield _cell_from_path(base, digs), (
-                value_de(vb) if value_de else bytes(vb)
-            )
 
-    for b in range(NUM_BASE):
-        dp = _dptr_read(buf, hdr + DPTR_SZ * b)
-        if dp != 0:
-            yield from walk(dp, b, [])
+def _base_spans(ptrs: list[int], file_size: int):
+    """(base, dptr, span_end) for present bases: each subtree's bytes
+    end where the next base's begin (contiguous base-order layout)."""
+    present = [(dp, b) for b, dp in enumerate(ptrs) if dp != 0]
+    present.sort()
+    for i, (dp, b) in enumerate(present):
+        end = present[i + 1][0] if i + 1 < len(present) else file_size
+        yield b, dp, end
+
+
+class DiskTreeFile:
+    """Open handle over a disktree file that never loads it wholly:
+    random-access ``get`` descends via seeks (sub-linear bytes read —
+    the ``DiskTreeMap::get`` analogue), iteration streams per-base
+    spans.  Usable as a context manager."""
+
+    def __init__(self, path: str, value_de: Optional[Callable] = de_i64):
+        self.path = path
+        self._de = value_de
+        self._f = open(path, "rb")
+        self.buf = _FileBuf(self._f)
+        _check_header(self.buf)
+
+    def get(self, cell: int):
+        return disktree_get(self.buf, cell, self._de)
+
+    def __iter__(self):
+        return iter_disktree(self.path, self._de, stream=True)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def disktree_get(
@@ -287,8 +397,55 @@ def read_disktree(
     path: str,
     value_de: Optional[Callable[[bytes], object]] = de_i64,
     value_type: str = "long",
+    stream: bool = False,
 ) -> DataFrame:
     """Parse a disktree file into a (cell, value) DataFrame for
-    distributed joins (S3/J3 source)."""
-    rows = [(c, v) for c, v in iter_disktree(path, value_de)]
+    distributed joins (S3/J3 source).  ``stream=True`` decodes without
+    holding the whole file in memory (driver peak = one base subtree +
+    the row list); for files too large even for the decoded *rows* on
+    the driver, use :func:`read_disktree_distributed`."""
+    rows = [(c, v) for c, v in iter_disktree(path, value_de, stream=stream)]
     return spark.createDataFrame(rows, f"cell: long, value: {value_type}")
+
+
+def read_disktree_distributed(
+    spark: SparkSession, path: str, value_type: str = "long"
+) -> DataFrame:
+    """Scale source for >RAM disktree files: one task per present base
+    cell; each task seeks straight to its subtree span via the 5-byte
+    base dptr and decodes only that span — no process ever materializes
+    the whole file (the lazy-paging posture of
+    /root/reference/src/disktree/tree.rs:33-37; 5-byte dptrs allow
+    ~1 TiB files).  ``path`` must be visible from executors (shared or
+    replicated FS).  Values are decoded as little-endian i64
+    (``ser_i64``, the engine's default value codec) — arbitrary
+    ``value_de`` callables don't belong in task closures; use
+    :func:`iter_disktree` driver-side for exotic value types."""
+    import pandas as pd
+
+    with open(path, "rb") as f:
+        fbuf = _FileBuf(f)
+        _check_header(fbuf)
+        ptrs = _base_ptrs(fbuf)
+        size = f.seek(0, 2)
+    spans = list(_base_spans(ptrs, size))
+    if not spans:
+        return spark.createDataFrame([], f"cell: long, value: {value_type}")
+
+    def decode(batches):
+        for pdf in batches:
+            cells: list[int] = []
+            vals: list[int] = []
+            with open(path, "rb") as fh:
+                for b, dp, end in zip(pdf["base"], pdf["dptr"], pdf["end"]):
+                    fh.seek(int(dp))
+                    sub = _OffsetBuf(fh.read(int(end) - int(dp)), int(dp))
+                    for c, v in _walk(sub, int(dp), int(b), [], de_i64):
+                        cells.append(c)
+                        vals.append(v)
+            yield pd.DataFrame({"cell": cells, "value": vals})
+
+    bdf = spark.createDataFrame(
+        [(b, dp, end) for b, dp, end in spans], "base: int, dptr: long, end: long"
+    ).repartition(len(spans))
+    return bdf.mapInPandas(decode, schema=f"cell long, value {value_type}")

@@ -19,6 +19,10 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cachepool import CachePool
+
+_DUPS_POOL = CachePool()
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -258,10 +262,12 @@ def embedding_dups(
         from pyspark import StorageLevel
 
         # both sides of the self-join read the signature relation; the
-        # persist runs the 32-projection signature pipeline once
-        sigs = hyperplane_signatures(
+        # persist runs the 32-projection signature pipeline once and is
+        # pooled so repeated calls retire old generations' blocks
+        _DUPS_POOL.new_generation()
+        sigs = _DUPS_POOL.add(hyperplane_signatures(
             corpus, dim, n_planes, n_tables, vec_col=vec_col
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).persist(StorageLevel.MEMORY_AND_DISK))
         sa = sigs.select(
             "bucket", F.col(key_col).alias("ida"),
             F.col(vec_col).cast("array<double>").alias("__va"),

@@ -365,17 +365,28 @@ def _cell_rect_df(cur: DataFrame, res: int) -> tuple[DataFrame, float, float]:
     persist — a plan barrier.  Without it every corner-PIP / edge-
     crossing reference re-inlines the whole ``cell_to_ij`` subtree
     (Catalyst's CollapseProject duplicates it ~30×) and the classify
-    step costs ~20s of analysis/codegen per level on 7k rows."""
+    step costs ~20s of analysis/codegen per level on 7k rows.  (An
+    eager ``localCheckpoint`` barrier was measured 2× slower end-to-end:
+    per-level jobs pay codegen serially instead of inside one action.)
+
+    The persists are registered with ``_POLYFILL_POOL`` — each
+    polyfill call retires the blocks of two calls ago, so long-running
+    drivers don't accumulate caches for the session lifetime."""
     xl, yl = _axis_levels(res)
     px = 360.0 / (GRID_DIM * 7**xl)
     py = 180.0 / (GRID_DIM * 7**yl)
     i, j = cell_to_ij(F.col("cell"), res)
-    rect = cur.select(
+    rect = _POLYFILL_POOL.add(cur.select(
         "cell",
         (F.lit(-180.0) + i * px).alias("__xmin"),
         (F.lit(-90.0) + j * py).alias("__ymin"),
-    ).persist()
+    ).persist())
     return rect, px, py
+
+
+from .cachepool import CachePool
+
+_POLYFILL_POOL = CachePool()
 
 
 def polyfill_hier(
@@ -397,6 +408,8 @@ def polyfill_hier(
     end (the descendants' centroids are inside by rectangle
     containment, so the set equals the flat enumeration — tested)."""
     from . import build as bx
+
+    _POLYFILL_POOL.new_generation()
 
     lats = [p[0] for p in polygon]
     lons = [p[1] for p in polygon]
@@ -447,11 +460,11 @@ def polyfill_hier(
             for la, lo in [(ymin, xmin), (ymin, xmax), (ymax, xmin), (ymax, xmax)]
         )
         crossed = _polygon_crosses_rect_sql(polygon, xmin, xmax, ymin, ymax)
-        tagged = rect.select(
+        tagged = _POLYFILL_POOL.add(rect.select(
             "cell",
             F.expr(f"((({corners}) = 4) AND NOT {crossed})").alias("__in"),
             F.expr(f"((({corners}) = 0) AND NOT {crossed})").alias("__out"),
-        ).persist()
+        ).persist())
         inside_acc.append(tagged.filter(F.col("__in")).select("cell"))
         boundary = tagged.filter(~F.col("__in") & ~F.col("__out")).select("cell")
         cur = bx.uncompact_df(boundary, r + 1, min_res=r)

@@ -193,3 +193,55 @@ def test_set_roundtrip_zero_len_values(spark, monaco, tmp_path):
     back = list(iter_disktree(p, value_de=None))
     assert sorted(c for c, _ in back) == sorted(c for c, _ in pairs)
     assert all(v == b"" for _, v in back)
+
+
+def test_streaming_reader_never_materializes(spark, tmp_path):
+    """>RAM posture: streamed iteration and random-access get must read
+    sub-linear bytes, match the whole-buffer codec exactly, and the
+    distributed per-base-span reader must return the same table."""
+    from hexspark.disktree import (
+        DiskTreeFile, disktree_get, iter_disktree, read_disktree_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    # cells across several bases, mixed res
+    cells = []
+    for base in (5, 20, 77, 110):
+        for r in (3, 6, 9):
+            digits = np.full(200, K.trailing_mask(r), dtype=np.int64)
+            for i in range(r):
+                digits += rng.integers(0, 7, size=200).astype(np.int64) << (
+                    (K.MAX_RES - 1 - i) * K.DIGIT_BITS
+                )
+            head = (
+                (K.MODE_CELL << K.MODE_OFFSET)
+                | (base << K.BASE_OFFSET)
+                | (r << K.RES_OFFSET)
+            )
+            cells.append(head | digits)
+    cells = np.unique(np.concatenate(cells))
+    # compact-valid input: drop covered cells so the tree builds cleanly
+    lo, res, hi = cnp.lo(cells), cnp.res(cells), cnp.hi(cells)
+    order = np.lexsort((res, lo))
+    hs = hi[order]
+    runmax = np.maximum.accumulate(np.concatenate([[np.int64(-1)], hs[:-1]]))
+    cells = cells[order[runmax < hs]]
+    pairs = [(int(c), int(i)) for i, c in enumerate(cells)]
+    p = str(tmp_path / "multi.disktree")
+    write_disktree(pairs, p, value_ser=ser_i64)
+    import os
+    fsize = os.path.getsize(p)
+
+    whole = list(iter_disktree(p))
+    streamed = list(iter_disktree(p, stream=True))
+    assert streamed == whole and len(whole) == len(pairs)
+
+    with DiskTreeFile(p) as t:
+        # a single get must not read the whole file
+        probe = int(cells[len(cells) // 2])
+        assert t.get(probe) == disktree_get(open(p, "rb").read(), probe)
+        assert t.buf.bytes_read < fsize / 4, (t.buf.bytes_read, fsize)
+
+    dist = read_disktree_distributed(spark, p)
+    got = sorted((r["cell"], r["value"]) for r in dist.collect())
+    assert got == sorted(pairs)

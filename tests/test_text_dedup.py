@@ -217,3 +217,38 @@ def test_extract_text_handles_angle_brackets(spark):
     )
     got = src.select("doc_id", "text", extract_text(F.col("html")).alias("t"))
     assert got.filter(F.col("t") != F.col("text")).count() == 0
+
+
+def test_jaccard_pairs_max_df_cap(spark, docs):
+    """Posting-list cap: a no-op cap is byte-identical to the exact
+    path; a tight cap on boilerplate-heavy docs stays conservative (no
+    spurious pairs) while keeping recall on planted near-dup pairs
+    whose overlap rides on rare shingles."""
+    base = sorted(
+        tuple(r) for r in dd.jaccard_pairs(docs, threshold_pct=60, n=3).collect()
+    )
+    loose = sorted(
+        tuple(r)
+        for r in dd.jaccard_pairs(docs, threshold_pct=60, n=3, max_df=10**9).collect()
+    )
+    assert base == loose
+    # planted dups sharing a ubiquitous boilerplate prefix
+    boiler = "all pages carry this exact header line"  # df = all docs
+    rows = []
+    for i in range(40):
+        body = (
+            f"unique body number {i} alpha{i} beta{i} gamma{i} delta{i}"
+            f" epsilon{i} zeta{i} eta{i} theta{i} iota{i} kappa{i}"
+        )
+        rows.append((2 * i, f"{boiler} {body}"))
+        rows.append((2 * i + 1, f"{boiler} {body} tail"))
+    d2 = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = dd.jaccard_pairs(d2, threshold_pct=35, n=3, max_df=5)
+    got = {(r["ida"], r["idb"]) for r in capped.collect()}
+    want = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert len(got & want) / len(want) >= 0.8
+    exact = {
+        (r["ida"], r["idb"])
+        for r in dd.jaccard_pairs(d2, threshold_pct=35, n=3).collect()
+    }
+    assert got <= exact  # the cap never invents pairs
