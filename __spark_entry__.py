@@ -254,11 +254,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_PCT = 60
+JACCARD_CAP_PCT = 50
+JACCARD_MAX_DF = 3
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.jaccard_pairs(docs, threshold_pct=JACCARD_PCT, n=3)
+
+
+def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list-capped jaccard (the exact-join scale guard): the
+    intersection join sees only shingles with document frequency ≤
+    max_df; the DuckDB twin applies the identical cap, so the capped
+    semantics themselves are hash-gated (not just the default path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.jaccard_pairs(
+        docs, threshold_pct=JACCARD_CAP_PCT, n=3, max_df=JACCARD_MAX_DF
+    )
 
 
 ANN_K = 5
@@ -453,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_capped": q_jaccard_pairs_capped,
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -492,6 +506,9 @@ def oracle_sql() -> dict[str, str]:
         "text_features": oracles.q_text_features(),
         "dedup_exact": dd.dd_dedup_exact(),
         "jaccard_pairs": dd.dd_jaccard_pairs(JACCARD_PCT, 3),
+        "jaccard_pairs_capped": dd.dd_jaccard_pairs(
+            JACCARD_CAP_PCT, 3, JACCARD_MAX_DF
+        ),
         "ann_topk": _ann_oracle(),
         "minhash_lsh": dd.dd_lsh_candidates(bands=4, rows_per_band=4, n=3),
         "simhash": dd.dd_simhash(bits=32),

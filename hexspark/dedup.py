@@ -156,17 +156,30 @@ def jaccard_pairs(
     )
 
 
-def dd_jaccard_pairs(threshold_pct: int = 50, n: int = 3) -> str:
+def dd_jaccard_pairs(
+    threshold_pct: int = 50, n: int = 3, max_df: Optional[int] = None
+) -> str:
+    """DuckDB twin of :func:`jaccard_pairs`, including the optional
+    ``max_df`` posting-list cap (same semantics: the intersection join
+    sees only shingles with document frequency ≤ cap, sizes see all)."""
     sh = dd_shingles("text", n)
+    if max_df is None:
+        joinsrc = "ex"
+        cap_cte = ""
+    else:
+        joinsrc = "exr"
+        cap_cte = f"""
+        rare AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= {max_df}),
+        exr AS (SELECT ex.* FROM ex JOIN rare USING (sh)),"""
     return f"""
         WITH ex AS (
             SELECT DISTINCT doc_id AS id, UNNEST(list_distinct({sh})) AS sh
             FROM documents
-        ),
+        ),{cap_cte}
         sizes AS (SELECT id, COUNT(*) AS sz FROM ex GROUP BY 1),
         inter AS (
             SELECT a.id AS ida, b.id AS idb, COUNT(*) AS inter
-            FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+            FROM {joinsrc} a JOIN {joinsrc} b ON a.sh = b.sh AND a.id < b.id
             GROUP BY 1, 2
         )
         SELECT i.ida, i.idb, i.inter, sa.sz AS sza, sb.sz AS szb
