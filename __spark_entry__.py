@@ -305,6 +305,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, bits=32)
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair mining: block-bucket join (exact by
+    pigeonhole) + popcount re-check; DuckDB twin applies the identical
+    blocks, so the full pipeline is hash-gated."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING, bits=32)
+
+
 IVF_CENTROIDS = 8
 IVF_NPROBE = 3
 
@@ -470,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "knn_rings": q_knn_rings,
@@ -512,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(),
         "minhash_lsh": dd.dd_lsh_candidates(bands=4, rows_per_band=4, n=3),
         "simhash": dd.dd_simhash(bits=32),
+        "simhash_pairs": dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 32),
         "ann_ivf": (
             "SELECT query_id, rank, vec_id FROM ("
             + dd_ann_topk_ivf(ANN_K, ANN_QUERIES, IVF_CENTROIDS, IVF_NPROBE)

@@ -345,3 +345,83 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
     for j in range(bits):
         sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
     return summed.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """ALL doc pairs (a < b) whose simhash signatures differ in at most
+    ``max_hamming`` bits — the classic near-dup detector (Manku/Jain/
+    Das Sarma block-permutation scheme, SIGIR'07, public method).
+
+    Exact by pigeonhole: the signature splits into ``max_hamming + 1``
+    contiguous blocks; any pair within the Hamming budget must agree on
+    at least one whole block, so a bucket equi-join on (block index,
+    block value) loses no qualifying pair.  Candidates re-check the
+    exact ``bit_count(xor)`` distance.  The shuffle key is the block
+    value — no all-pairs scan anywhere; a degenerate block (e.g. all
+    zeros across the corpus) is an AQE-skew-split equi-join, the same
+    guard class as the LSH band join."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    sig = simhash(docs, text_col=text_col, key_col=key_col, bits=bits)
+    block_vals = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+        for b in range(n_blocks)
+    ])
+    blk = sig.select(
+        "id", "simhash", F.posexplode(block_vals).alias("b", "v")
+    )
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["ida", "idb"])
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ida", "idb", "hamming")
+    )
+
+
+def dd_simhash_pairs(max_hamming: int = 3, bits: int = 32) -> str:
+    """DuckDB twin of :func:`simhash_pairs` (same blocks, same exact
+    popcount re-check)."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    idx = ", ".join(str(b) for b in range(n_blocks))
+    return f"""
+        WITH sig AS ({dd_simhash(bits)}),
+        blocks AS (
+            SELECT id, simhash, t.b,
+                   (simhash >> (t.b * {width})) & {(1 << width) - 1} AS v
+            FROM sig CROSS JOIN (SELECT UNNEST([{idx}]) AS b) t
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS ida, b.id AS idb,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM blocks a
+            JOIN blocks b ON a.b = b.b AND a.v = b.v AND a.id < b.id
+        )
+        SELECT ida, idb,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """

@@ -252,3 +252,20 @@ def test_jaccard_pairs_max_df_cap(spark, docs):
         for r in dd.jaccard_pairs(d2, threshold_pct=35, n=3).collect()
     }
     assert got <= exact  # the cap never invents pairs
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, docs):
+    """The block-bucket join must find EXACTLY the pairs within the
+    Hamming budget (pigeonhole completeness + popcount re-check) — no
+    recall loss, verified against the all-pairs brute force."""
+    sub = docs.limit(150)
+    sig = {r["id"]: r["simhash"] for r in dd.simhash(sub, bits=32).collect()}
+    ids = sorted(sig)
+    want = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {tuple(r) for r in dd.simhash_pairs(sub, max_hamming=3, bits=32).collect()}
+    assert got == want and len(want) > 0
