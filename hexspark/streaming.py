@@ -113,6 +113,28 @@ def stateful_tile_totals(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per content fingerprint
+    wins, duplicates within the watermark horizon are dropped —
+    ``dropDuplicatesWithinWatermark`` keeps ONE state row per distinct
+    fingerprint and expires it past the horizon, so state is bounded by
+    (throughput × horizon) instead of growing with the corpus.
+
+    The horizon is the at-least-once caveat: a duplicate arriving later
+    than ``watermark`` after the original passes through.  The batch
+    :func:`hexspark.dedup.dedup_exact` over the landed table is the
+    exactness backstop (the standard streaming/batch dedup pairing)."""
+    from .text import fingerprint
+
+    fp = stream.withColumn("fp", fingerprint(F.col(text_col)))
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
 def event_window_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window event rollup over the events table: count +
     value total per (window, event_type).  Works identically on a batch

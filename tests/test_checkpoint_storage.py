@@ -384,3 +384,47 @@ def test_streaming_region_assign(spark, tmp_path):
         .select("page_key", "region").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Watermarked streaming dedup: duplicates arriving in LATER
+    micro-batches (maxFilesPerTrigger=1) must be dropped by the state
+    carried across batches; the surviving fingerprint set equals the
+    batch distinct set."""
+    from hexspark import streaming as st
+    from hexspark.text import fingerprint
+
+    src_dir = str(tmp_path / "dsrc")
+    docs = spark.range(400).select(
+        F.col("id"),
+        # 100 distinct texts, each appearing 4 times spread over both files
+        F.concat(F.lit("doc body "), (F.col("id") % 100).cast("string")).alias("text"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("warc_ts"),
+    ).cache()
+    cols = ["text", "warc_ts"]
+    docs.filter(F.col("id") < 200).select(cols).coalesce(1).write.mode("append").parquet(src_dir)
+    docs.filter(F.col("id") >= 200).select(cols).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("text string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = st.stream_dedup_exact(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dckpt")).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM sdedup").collect()
+    got_fps = [r["fp"] for r in rows]
+    want_fps = {
+        r["fp"]
+        for r in spark.read.parquet(src_dir)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    # every distinct fingerprint exactly once — cross-batch dups dropped
+    assert sorted(got_fps) == sorted(want_fps)
+    assert len(got_fps) == 100
