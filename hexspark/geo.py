@@ -387,6 +387,7 @@ def _cell_rect_df(cur: DataFrame, res: int) -> tuple[DataFrame, float, float]:
 from .cachepool import CachePool
 
 _POLYFILL_POOL = CachePool()
+_KNN_RINGS_POOL = CachePool()
 
 
 def polyfill_hier(
@@ -697,7 +698,9 @@ def knn_rings(
     Exact for ring-metric kNN whenever k neighbors exist within
     ``max_ring`` (widen otherwise).  ``probes`` is a DataFrame with a
     ``probe_col`` cell column (a python list of cells is accepted and
-    wrapped).  The final per-probe rank is always the two-phase top-k
+    wrapped; duplicate probe rows duplicate their candidates — dedupe
+    the probe table first, join semantics like the batch ``get``).
+    The final per-probe rank is always the two-phase top-k
     (hexspark.topk) — no global per-probe window sort.
 
     The disk relation is probes × (2R+1)² rows, so its physical form is
@@ -768,14 +771,19 @@ def knn_rings(
     if disk_rows(n_probes, max_ring) <= broadcast_rows:
         return join_round(probes.select(probe_col), max_ring, n_probes)
 
-    # widest starting radius whose disk fits the broadcast budget
+    # iterative ring-doubling.  Each round's top-k (≤ k·n_probes rows)
+    # and shrunken probe set persist with lineage kept (fault-tolerant,
+    # unlike localCheckpoint); the in-loop count materializes them, so
+    # no round recomputes.  Pool-registered: a later knn_rings call
+    # retires these blocks.
+    _KNN_RINGS_POOL.new_generation()
     r0 = int(((broadcast_rows / n_probes) ** 0.5 - 1) // 2)
     radius = max(1, min(r0, max_ring))
     remaining = probes.select(probe_col)
     n_rem = n_probes
     resolved: list[DataFrame] = []
     while True:
-        part = join_round(remaining, radius, n_rem).localCheckpoint()
+        part = _KNN_RINGS_POOL.add(join_round(remaining, radius, n_rem).persist())
         if radius >= max_ring:
             resolved.append(part)
             break
@@ -786,7 +794,9 @@ def knn_rings(
             .select(probe_col)
         )
         resolved.append(part.join(done, on=probe_col, how="leftsemi"))
-        remaining = remaining.join(done, on=probe_col, how="leftanti").localCheckpoint()
+        remaining = _KNN_RINGS_POOL.add(
+            remaining.join(done, on=probe_col, how="leftanti").persist()
+        )
         n_rem = remaining.count()
         if n_rem == 0:
             break

@@ -265,3 +265,25 @@ def test_polyfill_covers_polygon(spark):
     sn = RNG.uniform(11, 24, 200)
     sample_cells = grid_encode_np(sl, sn, 4)
     assert np.isin(sample_cells, got).all()
+
+
+def test_cachepool_generations(spark):
+    """CachePool keeps current+previous generation and retires older
+    ones (the bounded-leak contract behind polyfill/knn/LSH persists)."""
+    from hexspark.cachepool import CachePool
+
+    pool = CachePool()
+    dfs = []
+    for gen in range(3):
+        pool.new_generation()
+        # distinct plan per generation — identical plans share one
+        # CacheManager entry and would mask the retire
+        df = spark.range(10 + gen).persist()
+        df.count()
+        pool.add(df)
+        dfs.append(df)
+    # generation 0 retired (unpersist is async — storage level cleared)
+    assert dfs[0].storageLevel.useMemory is False
+    assert dfs[2].storageLevel.useMemory is True
+    pool.clear()
+    assert dfs[2].storageLevel.useMemory is False
