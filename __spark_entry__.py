@@ -29,7 +29,9 @@ from hexspark.embed import (
     dd_embedding_dups,
 )
 from hexspark.geo import knn_join, pip_column
-from hexspark.multimodal import dd_media_features, extract_features, synth_media
+from hexspark.multimodal import (
+    dd_media_features, dd_media_resize, extract_features, synth_media,
+)
 from hexspark.pages import synth_pages
 
 COPIES = 2
@@ -429,6 +431,25 @@ def q_polyfill_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 64, 32
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (binary payload → Arrow-batched
+    resample stub → media table with new dims): the SQL-portable
+    columns (identity, kind, dims, resized byte size) are oracle-gated;
+    the pixel plane is covered by the Spark-side determinism test."""
+    from hexspark.multimodal import resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synth_media(docs, kind="image")
+    resized = resize_media(media, RESIZE_W, RESIZE_H)
+    return resized.select(
+        "media_id", "kind", "width", "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (binary payload → Arrow-batched feature
     extraction): the SQL-portable columns are oracle-gated; the stub
@@ -486,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "knn_rings": q_knn_rings,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "embed_dups": q_embed_dups,
         "polyfill_hier": q_polyfill_hier,
         "event_windows": q_event_windows,
@@ -539,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
             KNN_RINGS_K, KNN_RINGS_MAX, KNN_RINGS_RES, KNN_RINGS_PROBES
         ),
         "media_features": dd_media_features(kind="image"),
+        "media_resize": dd_media_resize(RESIZE_W, RESIZE_H, kind="image"),
         "embed_dups": dd_embedding_dups(DUP_THRESHOLD),
         "polyfill_hier": (
             "SELECT cell FROM ("

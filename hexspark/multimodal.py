@@ -146,6 +146,61 @@ def dd_media_features(kind: str = "image") -> str:
     """
 
 
+def _resize_stub_batch(payloads: list, width: int, height: int) -> list:
+    """Deterministic fake resize kernel over a WHOLE batch: emits a
+    ``width × height`` single-channel byte plane expanded from the
+    payload's seed (same vectorized counter-mode hash as the decode
+    stub).  Replace with a real resampler (PIL/cv2) where available —
+    keep the per-batch signature."""
+    if HAS_CODECS:  # pragma: no cover
+        raise NotImplementedError("wire a real resampler here")
+    if not payloads:
+        return []
+    n = width * height
+    seeds = _seed_batch(payloads)
+    ctr = seeds[:, None] + np.arange(1, n + 1, dtype=np.uint64)[None, :]
+    planes = (_splitmix64(ctr) & np.uint64(0xFF)).astype(np.uint8)
+    return [planes[i].tobytes() for i in range(len(payloads))]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched ``mapInPandas`` through the
+    (stubbed) resample kernel; output keeps the MEDIA_SCHEMA shape with
+    the new dimensions and the resized payload (``width·height`` bytes
+    from the stub — one channel), so downstream stages see a normal
+    media table.  Metadata update is exact; only the pixel kernel is a
+    deterministic fake behind ``HAS_CODECS``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": _resize_stub_batch(list(pdf["payload"]), width, height),
+                "width": np.full(len(pdf), width, dtype=np.int32),
+                "height": np.full(len(pdf), height, dtype=np.int32),
+                "duration_ms": pdf["duration_ms"],
+            })
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def dd_media_resize(width: int, height: int, kind: str = "image") -> str:
+    """DuckDB oracle for the SQL-portable columns of
+    ``resize_media(synth_media(documents), w, h)``: identity, kind, the
+    new dimensions, and the resized payload size (w·h one-channel
+    bytes).  The pixel plane itself is stub output — covered by the
+    Spark-side determinism test."""
+    return f"""
+        SELECT '{kind}-' || CAST(doc_id AS VARCHAR) AS media_id,
+               '{kind}' AS kind,
+               CAST({width} AS INTEGER) AS width,
+               CAST({height} AS INTEGER) AS height,
+               CAST({width * height} AS INTEGER) AS n_bytes
+        FROM documents
+    """
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     timestamp (payload decode stubbed; timestamps computed natively)."""

@@ -269,3 +269,22 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, docs):
     }
     got = {tuple(r) for r in dd.simhash_pairs(sub, max_hamming=3, bits=32).collect()}
     assert got == want and len(want) > 0
+
+
+def test_media_resize_plumbing(spark, docs):
+    """Resize keeps the media schema, sets the new dims, emits exactly
+    width*height payload bytes, and is partitioning-deterministic."""
+    from hexspark.multimodal import resize_media, MEDIA_SCHEMA
+
+    media = synth_media(docs.limit(40), kind="image")
+    out = resize_media(media, 16, 8)
+    assert out.schema == MEDIA_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rows)
+    assert all(len(r["payload"]) == 16 * 8 for r in rows)
+    again = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(media.repartition(7), 16, 8).collect()
+    }
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
