@@ -110,20 +110,27 @@ def ivf_index(
     """IVF coarse quantizer: seeded MLlib KMeans centroids; returns the
     corpus tagged with its nearest-centroid id plus the centroid matrix.
 
-    The fit is bounded: KMeans runs over at most ``fit_sample_rows``
-    vectors (``limit`` — one bounded LocalLimit pass, no count job), so
-    at 10^12 rows the fit cost is capped while assignment stays a
-    shuffle-free full-corpus map.  Centroid quality from a 10^6-row
-    sample is statistically indistinguishable for coarse quantization
-    (n_centroids ≪ sample size).  Pass ``fit_sample_rows=None`` to
-    force a full-corpus fit."""
+    The fit is bounded: KMeans runs over a seeded Bernoulli sample of
+    ~``fit_sample_rows`` vectors (one metadata-cheap ``count`` sizes
+    the fraction), so at 10^12 rows the fit cost is capped while
+    assignment stays a shuffle-free full-corpus map.  A *uniform*
+    sample matters: a ``limit`` would take whichever partitions answer
+    first, and on a corpus ingested per-source (pre-clustered in
+    embedding space) that yields degenerate centroids.  Centroid
+    quality from a uniform 10^6-row sample is statistically
+    indistinguishable for coarse quantization (n_centroids ≪ sample).
+    Pass ``fit_sample_rows=None`` to force a full-corpus fit."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     src = corpus.withColumn("__feat", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_src = src.select("__feat")
     if fit_sample_rows is not None:
-        fit_src = fit_src.limit(int(fit_sample_rows))
+        n = corpus.count()
+        if n > fit_sample_rows:
+            fit_src = fit_src.sample(
+                fraction=fit_sample_rows / n, seed=seed
+            )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="centroid_id")
     model = km.fit(fit_src)
     assigned = model.transform(src).drop("__feat")

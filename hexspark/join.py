@@ -63,15 +63,22 @@ _RES_SET_MEMO_CAP = 512
 
 
 def _plan_fingerprint(df: DataFrame):
-    """Semantic hash of the analyzed logical plan — stable across
-    *rebuilt* DataFrame objects over the same source (two
-    ``spark.read.parquet(p)`` calls canonicalize identically), so the
-    res-set memo survives per-round plan rebuilds.  None when the
-    backing JVM API is unavailable (e.g. Spark Connect)."""
+    """Fingerprint stable across *rebuilt* DataFrame objects over the
+    same source (two ``spark.read.parquet(p)`` calls canonicalize
+    identically), so the res-set memo survives per-round plan rebuilds.
+
+    The semantic hash alone is NOT enough: a file relation hashes by
+    root path, so overwriting the parquet at the same path would hit a
+    stale memo.  Combining in ``inputFiles()`` (the concrete part-file
+    names — every Spark write emits fresh UUID names) invalidates on
+    overwrite/append.  None when the backing JVM API is unavailable
+    (e.g. Spark Connect) — callers then skip the process-wide memo."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        sem = df._jdf.queryExecution().analyzed().semanticHash()
+        files = df.inputFiles()
     except Exception:
         return None
+    return (sem, hash(tuple(sorted(files))))
 
 
 def region_res_set(region: DataFrame, region_col: str = "cell") -> list[int]:

@@ -75,18 +75,20 @@ def _seed_batch(payloads: list) -> np.ndarray:
     ).astype(np.uint64)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
+    h = np.zeros(n, dtype=np.uint64)
     if len(data):
         pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
         pw = np.empty(int(lens.max()) + 1, dtype=np.uint64)
         pw[0] = 1
         np.cumprod(np.full(int(lens.max()), 0x100000001B3, dtype=np.uint64), out=pw[1:])
         terms = (data + np.uint64(1)) * pw[pos]
-        # reduceat: clip trailing-empty-segment starts in range, then
-        # zero empty segments (reduceat yields terms[start] for them)
-        h = np.add.reduceat(terms, np.minimum(starts, len(data) - 1))
-        h[lens == 0] = 0
-    else:
-        h = np.zeros(n, dtype=np.uint64)
+        # reduceat over NON-EMPTY segments only: their starts are
+        # strictly increasing and in range, and consecutive non-empty
+        # starts are exact segment boundaries (empties contribute no
+        # bytes).  Clipping empty starts instead would steal the final
+        # byte term from the payload preceding a trailing empty one.
+        nonempty = lens > 0
+        h[nonempty] = np.add.reduceat(terms, starts[nonempty])
     return _splitmix64(h ^ _splitmix64(lens.astype(np.uint64)))
 
 
@@ -129,7 +131,11 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
             })
 
-    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+    # manual pruning: Catalyst can't prune through the UDF schema, and
+    # width/height/duration would ride the Arrow channel for nothing
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema=FEATURE_SCHEMA
+    )
 
 
 def dd_media_features(kind: str = "image") -> str:
@@ -182,7 +188,11 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 "duration_ms": pdf["duration_ms"],
             })
 
-    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+    # manual pruning (CLAUDE.md rule): the old width/height are
+    # overwritten with literals, so don't ship them through Arrow
+    return media.select("media_id", "kind", "payload", "duration_ms").mapInPandas(
+        fn, schema=MEDIA_SCHEMA
+    )
 
 
 def dd_media_resize(width: int, height: int, kind: str = "image") -> str:

@@ -288,3 +288,18 @@ def test_media_resize_plumbing(spark, docs):
         for r in resize_media(media.repartition(7), 16, 8).collect()
     }
     assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+
+
+def test_seed_batch_composition_invariance():
+    """A payload's seed must not depend on its neighbors in the Arrow
+    batch — including batches with empty payloads in any position
+    (regression: a trailing empty payload used to steal the preceding
+    payload's final hash term)."""
+    from hexspark.multimodal import _seed_batch
+
+    solo = {p: _seed_batch([p])[0] for p in (b"ab", b"xy", b"", b"\x00" * 5)}
+    mixed = _seed_batch([b"", b"ab", b"", b"\x00" * 5, b"xy", b""])
+    assert mixed[1] == solo[b"ab"]
+    assert mixed[3] == solo[b"\x00" * 5]
+    assert mixed[4] == solo[b"xy"]
+    assert mixed[0] == mixed[2] == mixed[5] == solo[b""]
