@@ -346,6 +346,42 @@ class DiskTreeFile:
     def get(self, cell: int):
         return disktree_get(self.buf, cell, self._de)
 
+    def contains(self, cell: int) -> bool:
+        """``DiskTreeMap::contains`` (/root/reference/src/disktree/
+        tree.rs): same descent as ``get``."""
+        return disktree_get(self.buf, cell, None) is not None
+
+    def descendants(self, cell: int):
+        """``DiskTreeMap::descendants`` (/root/reference/src/disktree/
+        tree.rs:123-131): the stored leaf covering ``cell`` if the
+        probe is at-or-below it, else every stored leaf under ``cell``
+        (DFS order == ascending lo); empty if neither.  Seek-based —
+        reads only the probe's subtree."""
+        _check_header(self.buf)
+        base, digs = _digits_of(int(cell))
+        pos = _dptr_read(self.buf, len(HDR_MAGIC) + 1 + DPTR_SZ * base)
+        if pos == 0:
+            return
+        taken: list[int] = []
+        while True:
+            first = self.buf[pos]
+            if not first & 0x80:  # leaf at-or-above the probe: covering hit
+                vlen, n = varint_read(self.buf, pos)
+                vb = self.buf[pos + n : pos + n + vlen]
+                yield _cell_from_path(base, taken), (
+                    self._de(vb) if self._de else bytes(vb)
+                )
+                return
+            if len(taken) == len(digs):  # parent at the probe: whole subtree
+                yield from _walk(self.buf, pos, base, taken, self._de)
+                return
+            d = digs[len(taken)]
+            if not (first >> d) & 1:
+                return
+            skip = bin(first & ((1 << d) - 1)).count("1")
+            pos = _dptr_read(self.buf, pos + 1 + DPTR_SZ * skip)
+            taken.append(d)
+
     def __iter__(self):
         return iter_disktree(self.path, self._de, stream=True)
 

@@ -245,3 +245,46 @@ def test_streaming_reader_never_materializes(spark, tmp_path):
     dist = read_disktree_distributed(spark, p)
     got = sorted((r["cell"], r["value"]) for r in dist.collect())
     assert got == sorted(pairs)
+
+
+def test_disktreefile_contains_descendants_parity(spark, monaco, tmp_path):
+    """Seek-based contains/descendants against the numpy lo/hi oracle —
+    the DiskTreeMap surface (tree.rs contains/descendants) directly on
+    the file handle."""
+    from hexspark.disktree import DiskTreeFile
+
+    cells_list = sorted(r["cell"] for r in monaco.collect())
+    rows = [(c, i) for i, c in enumerate(cells_list)]
+    p = str(tmp_path / "mon.disktree")
+    write_disktree(rows, p, value_ser=ser_i64)
+    cells = np.array([c for c, _ in rows], dtype=np.int64)
+    vals = {c: v for c, v in rows}
+    lo, hi = cnp.lo(cells), cnp.hi(cells)
+
+    def want_desc(probe):
+        plo, phi = int(cnp.lo(np.array([probe]))[0]), int(cnp.hi(np.array([probe]))[0])
+        inside = cells[(lo >= plo) & (hi <= phi)]
+        if len(inside):
+            return sorted((int(c), vals[int(c)]) for c in inside)
+        covering = cells[(lo <= plo) & (hi >= phi)]
+        return sorted((int(c), vals[int(c)]) for c in covering)
+
+    with DiskTreeFile(p) as t:
+        # stored cells contain themselves; their descendants = themselves
+        for c in cells[:20]:
+            assert t.contains(int(c))
+            assert sorted(t.descendants(int(c))) == [(int(c), vals[int(c)])]
+        # coarse probes: whole-subtree scans
+        for probe in np.unique(cnp.to_parent(cells, 9))[:10]:
+            assert sorted(t.descendants(int(probe))) == want_desc(int(probe))
+        # deeper-than-stored probes: covering-leaf hit, contains true
+        d13 = 0x7 << ((K.MAX_RES - 13) * K.DIGIT_BITS)
+        deeper = int((cells[0] & ~(d13 | K.RES_MASK)) | (13 << K.RES_OFFSET))
+        assert t.contains(deeper)
+        assert sorted(t.descendants(deeper)) == want_desc(deeper)
+        # absent subtree
+        other_base = (cells[0] >> K.BASE_OFFSET) & 0x7F
+        vacant = int(cells[0] ^ (1 << K.BASE_OFFSET))
+        if not any((c >> K.BASE_OFFSET) & 0x7F == ((vacant >> K.BASE_OFFSET) & 0x7F) for c in cells.tolist()):
+            assert not t.contains(vacant)
+            assert list(t.descendants(vacant)) == []
