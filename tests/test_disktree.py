@@ -168,6 +168,11 @@ def test_random_cells_and_value_lengths_roundtrip(spark, tmp_path):
     write_disktree(pairs, p, value_ser=lambda b: b)
     back = dict(iter_disktree(p, value_de=None))
     assert back == dict(pairs)
+    # streamed reader: identical rows AND identical order on the same
+    # random tree (all varint widths, zero-length values, deep cells)
+    assert list(iter_disktree(p, value_de=None, stream=True)) == list(
+        iter_disktree(p, value_de=None)
+    )
     buf = open(p, "rb").read()
     for c, v in pairs:
         got = disktree_get(buf, c, value_de=None)
