@@ -194,10 +194,12 @@ def compact_np(
         keep[doomed] = False
         full_sorted = np.sort(full)
         if vals is not None:
-            # parent takes the (equal) children's value: sort doomed
-            # children by parent, take one representative per group of 7
+            # parent takes one child's value — for 'eq' all 7 are equal;
+            # for 'set'+values the choice must be DETERMINISTIC, so sort
+            # by (parent, child cell): the digit-0 child's value wins
+            # regardless of shuffle arrival order
             child_parents = parents[doomed_local]
-            order = np.argsort(child_parents, kind="stable")
+            order = np.lexsort((cells[doomed], child_parents))
             new_vals = vals[doomed][order][::7]
             cells = np.concatenate([cells[keep], full_sorted])
             vals = np.concatenate([vals[keep], new_vals])
@@ -334,7 +336,10 @@ def build_region_local(
     against the distributed path on the US915/Monaco fixtures)."""
     spark = df.sparkSession
     cols = [cell_col] + ([value_col] if value_col else [])
-    pdf = df.select(*cols).toPandas()
+    # drop NULL cells Spark-side (the validate_cells quarantine rule):
+    # a NULL would decay toPandas' long column to float64, corrupting
+    # every >2^53 cell value, not just the null row
+    pdf = df.filter(F.col(cell_col).isNotNull()).select(*cols).toPandas()
     cells = pdf[cell_col].to_numpy(dtype=np.int64)
     ok = cnp.is_valid(cells)
     pdf = pdf[ok]

@@ -119,10 +119,18 @@ def contains_explode(
     probe_col: str = "cell",
     region_col: str = "cell",
     out_col: str = "contained",
+    res_list: Optional[list[int]] = None,
 ) -> DataFrame:
-    """Mark each probe row contained/not via explode + broadcast semi-join."""
+    """Mark each probe row contained/not via explode + broadcast
+    semi-join.  Explodes only at the region's actual resolutions
+    (derived via ``region_res_set`` unless passed) — a 3-4× transient
+    row factor instead of the full 16."""
+    rs = res_list if res_list is not None else region_res_set(region, region_col)
+    if not rs:  # empty region: nothing is contained
+        return probes.withColumn(out_col, F.lit(False))
     anc = probes.select(
-        F.col(probe_col).alias("__q"), F.explode(ancestors_array(probe_col)).alias("__a")
+        F.col(probe_col).alias("__q"),
+        F.explode(ancestors_array(probe_col, rs)).alias("__a"),
     )
     hits = (
         anc.join(
@@ -189,6 +197,8 @@ def get_chained(
     the allocator and stops scaling past ~8 cores), naturally supports
     left joins.  Compacted leaves are pairwise non-related so at most
     one of the chained joins matches any probe."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"get_chained: how must be 'inner' or 'left', got {how!r}")
     rs = res_list if res_list is not None else region_res_set(region, region_col)
     region_cols = [c for c in region.columns if c != region_col]
     out = probes
@@ -205,9 +215,14 @@ def get_chained(
     stored = F.coalesce(*[F.col(f"__c{i}") for i in range(len(rs))]) if rs else F.lit(None).cast("long")
     out = out.withColumn("stored_cell", stored)
     for c in region_cols:
-        out = out.withColumn(
-            c, F.coalesce(*[F.col(f"__v{i}_{c}") for i in range(len(rs))])
+        # empty region table: typed NULLs (F.coalesce() with zero args
+        # is an analysis error)
+        v = (
+            F.coalesce(*[F.col(f"__v{i}_{c}") for i in range(len(rs))])
+            if rs
+            else F.lit(None).cast(region.schema[c].dataType)
         )
+        out = out.withColumn(c, v)
     out = out.drop(*[f"__c{i}" for i in range(len(rs))],
                    *[f"__v{i}_{c}" for i in range(len(rs)) for c in region_cols])
     if how == "inner":

@@ -42,12 +42,14 @@ def run_pipeline(
         lambda: synth_pages(spark, sf_dir, copies=copies, res=page_res, with_html=False),
     )
 
-    # quarantine stage: split valid/invalid probe cells, count both
+    # quarantine stage: split valid/invalid probe cells, count both.
+    # validate_cells (not a bare ~is_valid filter) so NULL cells land
+    # in quarantine instead of vanishing from both outputs
     valid = ck.stage(
         "pages_valid",
-        lambda: pages.filter(cx.is_valid("cell")),
+        lambda: bx.validate_cells(pages)[0],
         inputs=["pages"],
-        quarantine_fn=lambda: pages.filter(~cx.is_valid("cell")),
+        quarantine_fn=lambda: bx.validate_cells(pages)[1],
     )
 
     regions = ck.stage("region_map", lambda: ops.region_map(spark))

@@ -89,10 +89,13 @@ def write_bucketed(
 
 
 def read_region(spark: SparkSession, path: str, ordered: bool = False) -> DataFrame:
+    """Read a stored region table; ``ordered=True`` returns rows in
+    DFS/iteration order.  The internal ``__lo`` sort key never leaks:
+    both branches return the same schema."""
     df = spark.read.parquet(path)
     if ordered:
         df = df.orderBy("__lo")
-    return df.drop("__lo") if not ordered else df
+    return df.drop("__lo")
 
 
 def iterate(df: DataFrame, cell_col: str = "cell") -> DataFrame:

@@ -446,3 +446,48 @@ def test_drop_covered_prefix_partition_equals_default(spark):
         for r in bx.build_region(df, compactor="set", prefix_res=4).collect()
     )
     assert r1 == r2
+
+
+def test_set_compactor_with_values_deterministic(spark):
+    """'set' compaction over a value column must pick the SAME child's
+    value regardless of row arrival order (digit-0 child wins)."""
+    base = 20
+    cells7 = []
+    for d in range(7):
+        digits = K.trailing_mask(1) + (d << ((K.MAX_RES - 1) * K.DIGIT_BITS))
+        cells7.append(
+            (K.MODE_CELL << K.MODE_OFFSET)
+            | (base << K.BASE_OFFSET)
+            | (1 << K.RES_OFFSET)
+            | digits
+        )
+    rows = [(c, 100 + d) for d, c in enumerate(cells7)]
+    outs = []
+    for perm in (rows, rows[::-1], rows[3:] + rows[:3]):
+        df = spark.createDataFrame(perm, "cell: long, v: long").repartition(5)
+        got = bx.build_region(df, value_col="v", compactor="set").collect()
+        assert len(got) == 1
+        outs.append((got[0]["cell"], got[0]["v"]))
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][1] == 100  # digit-0 child's value
+
+
+def test_get_chained_empty_region_and_bad_how(spark):
+    probes = spark.createDataFrame([(int(0x85283473FFFFFFF),)], "cell: long")
+    empty = spark.createDataFrame([], "cell: long, region: string")
+    out = jx.get_chained(probes, empty, how="left")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["stored_cell"] is None and rows[0]["region"] is None
+    assert jx.get_chained(probes, empty, how="inner").count() == 0
+    with pytest.raises(ValueError, match="how must be"):
+        jx.get_chained(probes, empty, how="full")
+
+
+def test_build_region_local_null_cells(spark):
+    """NULL cells must be dropped like the distributed quarantine path —
+    and must NOT decay the long column to float64 (which would corrupt
+    every >2^53 cell bit pattern)."""
+    good = int(0x85283473FFFFFFF)
+    df = spark.createDataFrame([(good, 1), (None, 2)], "cell: long, v: long")
+    out = bx.build_region_local(df, value_col="v", compactor="none").collect()
+    assert len(out) == 1 and out[0]["cell"] == good and out[0]["v"] == 1
