@@ -282,7 +282,12 @@ BENCH_PAIRS="1x4:4x4,4:16,8:32", BENCH_REPS, BENCH_ROUNDS — "NxC" legs
 run N separate executor JVMs × C cores via local-cluster).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # guard the evidence file: undersized smoke runs (small BENCH_COPIES)
+    # measure fixed-overhead dilution, not scaling — never overwrite the
+    # real evidence with them (set BENCH_WRITE_MD=1 to force)
+    full_size = COPIES >= 100_000 or os.environ.get("BENCH_WRITE_MD") == "1"
+    out_name = "BASELINE.md" if full_size else "BASELINE.smoke.md"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(md)
 
 
