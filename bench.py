@@ -34,6 +34,12 @@ from hexspark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 COPIES = int(os.environ.get("BENCH_COPIES", "4000"))  # 5000 docs * 4000 = 20M pages
+# best-of-N per query (same methodology as bench_scaling): each round
+# re-invokes the operator, which builds a FRESH Dataset/plan (the
+# Dataset-object AQE-stage-reuse trap doesn't apply), so round 2 measures
+# steady-state execution instead of first-compile codegen/JIT noise —
+# q10/q11-class expression-heavy queries vary ~2x on the cold round.
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -47,10 +53,22 @@ def run(spark) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     extras: dict = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        result = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, rounds: int = ROUNDS):
+        from hexspark import cachepool
+
+        best = None
+        result = None
+        for _ in range(max(1, rounds)):
+            # operators with internal persists (polyfill rects, LSH
+            # signatures) build identical plans per round; without this
+            # the repeat hits the prior round's CacheManager entry and
+            # measures a cache lookup, not the operator
+            cachepool.clear_all(blocking=True)
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return result
 
     # persist only raw keys: the q1 timing covers the FULL north-metric
@@ -67,11 +85,13 @@ def run(spark) -> tuple[dict, dict]:
         .drop("doc_id")
         .persist()
     )
-    n_pages = timed("materialize_pages", lambda: raw.count())
+    # single-round: these time the materialization of persisted
+    # relations — a second round would measure the cache hit
+    n_pages = timed("materialize_pages", lambda: raw.count(), rounds=1)
     extras["n_pages"] = n_pages
 
     regions = ops.region_map(spark).persist()
-    timed("build_region_map", lambda: regions.count())
+    timed("build_region_map", lambda: regions.count(), rounds=1)
 
     def geotagged():
         lat, lon = synth.latlon_from_key(F.col("page_key"))
@@ -84,12 +104,13 @@ def run(spark) -> tuple[dict, dict]:
 
     pages = geotagged()
 
-    # q1: flagship spatial join — pages/sec headline
-    t0 = time.perf_counter()
-    counts = ops.region_counts(pages, regions).collect()
-    q1 = time.perf_counter() - t0
-    timings["q1_region_assign"] = round(q1, 3)
-    extras["pages_per_sec"] = round(n_pages / q1, 1)
+    # q1: flagship spatial join — pages/sec headline (best-of-rounds
+    # like every query; each round re-plans the full geotag→encode→
+    # join→agg pipeline over the persisted raw keys)
+    counts = timed(
+        "q1_region_assign", lambda: ops.region_counts(pages, regions).collect()
+    )
+    extras["pages_per_sec"] = round(n_pages / timings["q1_region_assign"], 1)
     extras["region_counts"] = {r["region"]: r["n_pages"] for r in counts}
 
     # q2: alternate physical forms, for comparison with q1's auto(chained)
@@ -232,6 +253,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "rounds_per_query": ROUNDS,
         **extras,
     }))
 

@@ -20,11 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_ALL_POOLS: list["CachePool"] = []
+
 
 class CachePool:
     def __init__(self, keep_generations: int = 1):
         self._gens: list[list[DataFrame]] = []
         self._keep = keep_generations
+        _ALL_POOLS.append(self)
 
     def new_generation(self) -> None:
         """Start a new call: retire generations beyond ``keep``."""
@@ -43,12 +46,21 @@ class CachePool:
         self._gens[-1].append(df)
         return df
 
-    def clear(self) -> None:
+    def clear(self, blocking: bool = False) -> None:
         """Unpersist everything (explicit release, e.g. app shutdown)."""
         for gen in self._gens:
             for df in gen:
                 try:
-                    df.unpersist(blocking=False)
+                    df.unpersist(blocking=blocking)
                 except Exception:
                     pass
         self._gens = []
+
+
+def clear_all(blocking: bool = False) -> None:
+    """Release every operator pool's cached blocks.  Benchmarks call
+    this between timed rounds so a repeat of an operator whose internal
+    persist plan is identical (polyfill rects, LSH signatures) measures
+    real recomputation, not a CacheManager hit from the prior round."""
+    for p in _ALL_POOLS:
+        p.clear(blocking=blocking)
