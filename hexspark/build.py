@@ -263,6 +263,7 @@ def compact_df(
     cell_col: str = "cell",
     value_col: Optional[str] = None,
     compactor: str = "set",
+    prefix_res: Optional[int] = None,
 ) -> DataFrame:
     """Distributed compaction: one shuffle, ``groupBy(base_cell)`` +
     vectorized numpy fixpoint per base group.
@@ -271,7 +272,17 @@ def compact_df(
     crosses a base-cell boundary — the 122 root slots partition the
     problem exactly.  For value types that aren't numpy-friendly the
     'eq' compactor compares pandas object equality.
-    """
+
+    ``prefix_res=B`` is the scale path for continent-scale raw ingests
+    (pairs with :func:`drop_covered`'s): pass 1 compacts cells at
+    ``res >= B`` within their res-B prefix group (122·7^B partitions);
+    the split is exact because a merge at res > B only involves
+    siblings sharing the res-B ancestor, and pass 1 runs each group to
+    its fixpoint — any cell left deeper than B can never merge again.
+    Pass 2 then compacts the small residue that can still cascade
+    (cells at res ≤ B plus the original coarse rows) by base cell.
+    Built-in compactors only ('set'/'eq' — a custom callable's
+    blocked-parent rule needs whole-base visibility)."""
     if compactor == "none":
         return df
     cols = [cell_col] + ([value_col] if value_col else [])
@@ -287,9 +298,29 @@ def compact_df(
             out[value_col] = out_v
         return pd.DataFrame(out)
 
-    return src.groupBy(cx.base_cell(cell_col).alias("__base")).applyInPandas(
+    if prefix_res is None or prefix_res <= 0:
+        return src.groupBy(cx.base_cell(cell_col).alias("__base")).applyInPandas(
+            lambda key, pdf: _compact_group(pdf), schema=schema
+        )
+    if callable(compactor):
+        raise ValueError(
+            "compact_df: prefix_res requires a built-in compactor "
+            "('set'/'eq') — custom compactors need whole-base groups"
+        )
+    res_c = cx.res(cell_col)
+    fine = src.filter(res_c >= prefix_res)
+    coarse = src.filter(res_c < prefix_res)
+    pass1 = fine.groupBy(
+        cx.to_parent(cell_col, prefix_res).alias("__pfx")
+    ).applyInPandas(lambda key, pdf: _compact_group(pdf), schema=schema)
+    # only cells that reached res <= B can still cascade; deeper
+    # survivors are final (their groups ran to fixpoint)
+    deep_final = pass1.filter(res_c > prefix_res)
+    residue = pass1.filter(res_c <= prefix_res).unionByName(coarse)
+    pass2 = residue.groupBy(cx.base_cell(cell_col).alias("__base")).applyInPandas(
         lambda key, pdf: _compact_group(pdf), schema=schema
     )
+    return deep_final.unionByName(pass2)
 
 
 def build_region(
@@ -310,13 +341,15 @@ def build_region(
     duplicates resolve by ``dedupe_policy``).
 
     ``prefix_res``: pass a small B (e.g. 4) for continent-scale raw
-    fine-res ingests — sub-partitions the ancestor-wins pass past the
-    122 base roots (see :func:`drop_covered`).  Output identical.
+    fine-res ingests — sub-partitions BOTH the ancestor-wins pass (see
+    :func:`drop_covered`) and the compaction (see :func:`compact_df`)
+    past the 122 base roots.  Output identical.
     """
     valid, _ = validate_cells(df, cell_col)
     deduped = dedupe_cells(valid, cell_col, value_col, dedupe_policy)
     pruned = drop_covered(deduped, cell_col, prefix_res=prefix_res)
-    return compact_df(pruned, cell_col, value_col, compactor)
+    cpfx = prefix_res if not callable(compactor) else None
+    return compact_df(pruned, cell_col, value_col, compactor, prefix_res=cpfx)
 
 
 def build_region_local(

@@ -491,3 +491,55 @@ def test_build_region_local_null_cells(spark):
     df = spark.createDataFrame([(good, 1), (None, 2)], "cell: long, v: long")
     out = bx.build_region_local(df, value_col="v", compactor="none").collect()
     assert len(out) == 1 and out[0]["cell"] == good and out[0]["v"] == 1
+
+
+def _children_of(cell: int, res: int) -> list[int]:
+    """All 7 children of a res-`res` cell (bit math)."""
+    out = []
+    for d in range(7):
+        c = (cell & ~K.RES_MASK) | ((res + 1) << K.RES_OFFSET)
+        pos = (K.MAX_RES - (res + 1)) * K.DIGIT_BITS
+        c = (c & ~(0x7 << pos)) | (d << pos)
+        out.append(int(c))
+    return out
+
+
+def test_compact_prefix_partition_cascades_equal_default(spark):
+    """Two-pass prefix compaction must equal whole-base compaction on
+    planted full-sibling cascades, including the cross-boundary one
+    (res-4 children of a res-3 parent: singleton pass-1 groups, merged
+    only by pass 2) and a two-level cascade fully inside one prefix
+    group (49 res-6 cells -> their res-4 grandparent)."""
+    rng = np.random.default_rng(13)
+    scatter = _rand_cells_one_base(rng, 5000, 9).tolist()
+    r3 = int(_rand_cells_one_base(rng, 1, 3)[0])
+    cross_boundary = _children_of(r3, 3)              # 7 res-4 cells
+    r4 = int(_rand_cells_one_base(rng, 1, 4)[0])
+    two_level = [g for c in _children_of(r4, 4) for g in _children_of(c, 5)]
+    all_cells = sorted(set(scatter + cross_boundary + two_level) - {r3, r4})
+    df = spark.createDataFrame([(c,) for c in all_cells], "cell: long").repartition(16)
+    a = sorted(r["cell"] for r in bx.build_region(df, compactor="set").collect())
+    b = sorted(
+        r["cell"]
+        for r in bx.build_region(df, compactor="set", prefix_res=4).collect()
+    )
+    assert a == b
+    assert r3 in b and r4 in b            # both cascades fired
+    assert not set(cross_boundary) & set(b)
+    assert not set(two_level) & set(b)
+    # with values: the deterministic digit-0 policy must survive the
+    # two-pass split identically
+    dfv = spark.createDataFrame(
+        [(c, c % 1000) for c in all_cells], "cell: long, v: long"
+    ).repartition(16)
+    av = sorted(
+        (r["cell"], r["v"])
+        for r in bx.build_region(dfv, value_col="v", compactor="set").collect()
+    )
+    bv = sorted(
+        (r["cell"], r["v"])
+        for r in bx.build_region(
+            dfv, value_col="v", compactor="set", prefix_res=4
+        ).collect()
+    )
+    assert av == bv
