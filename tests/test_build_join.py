@@ -493,7 +493,7 @@ def test_build_region_local_null_cells(spark):
     assert len(out) == 1 and out[0]["cell"] == good and out[0]["v"] == 1
 
 
-def _children_of(cell: int, res: int) -> list[int]:
+def _children_of_at(cell: int, res: int) -> list[int]:
     """All 7 children of a res-`res` cell (bit math)."""
     out = []
     for d in range(7):
@@ -513,9 +513,9 @@ def test_compact_prefix_partition_cascades_equal_default(spark):
     rng = np.random.default_rng(13)
     scatter = _rand_cells_one_base(rng, 5000, 9).tolist()
     r3 = int(_rand_cells_one_base(rng, 1, 3)[0])
-    cross_boundary = _children_of(r3, 3)              # 7 res-4 cells
+    cross_boundary = _children_of_at(r3, 3)              # 7 res-4 cells
     r4 = int(_rand_cells_one_base(rng, 1, 4)[0])
-    two_level = [g for c in _children_of(r4, 4) for g in _children_of(c, 5)]
+    two_level = [g for c in _children_of_at(r4, 4) for g in _children_of_at(c, 5)]
     all_cells = sorted(set(scatter + cross_boundary + two_level) - {r3, r4})
     df = spark.createDataFrame([(c,) for c in all_cells], "cell: long").repartition(16)
     a = sorted(r["cell"] for r in bx.build_region(df, compactor="set").collect())
