@@ -125,6 +125,18 @@ def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tile_stats(pages, TILE_RES)
 
 
+PYRAMID_RES = 4
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom pyramid: all tile levels 0..PYRAMID_RES in one pages-scale
+    shuffle, coarser levels rolled up from children's counts (the
+    DuckDB twin aggregates each level directly — equal by the
+    to_parent nesting invariant)."""
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    return ops.tile_pyramid(pages, PYRAMID_RES)
+
+
 XYZ_TILE_RES = 4
 
 
@@ -488,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_unique_docs": q_region_unique_docs,
         "tile_stats": q_tile_stats,
         "tile_xyz": q_tile_xyz,
+        "tile_pyramid": q_tile_pyramid,
         "tile_region_rollup": q_tile_region_rollup,
         "subtree_sum": q_subtree_sum,
         "knn": q_knn,
@@ -528,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tile_stats": oracles.q_tile_stats(COPIES, PAGE_RES, TILE_RES),
         "tile_xyz": oracles.q_tile_xyz(COPIES, PAGE_RES, XYZ_TILE_RES),
+        "tile_pyramid": oracles.q_tile_pyramid(COPIES, PAGE_RES, PYRAMID_RES),
         "tile_region_rollup": oracles.q_tile_region_rollup(
             ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES, ROLLUP_TILE_RES
         ),

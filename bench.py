@@ -230,6 +230,10 @@ def run(spark) -> tuple[dict, dict]:
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed("q13_event_windows", lambda: event_window_stats(events).count())
 
+    # q14: zoom pyramid — all tile levels 0..6 from ONE pages shuffle,
+    # coarser levels rolled up from children's tile counts
+    timed("q14_tile_pyramid", lambda: ops.tile_pyramid(pages, 6).count())
+
     raw.unpersist()
     regions.unpersist()
     return timings, extras

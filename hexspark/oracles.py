@@ -370,3 +370,20 @@ def q_point_in_polygon(regions: dict, copies: int) -> str:
         FROM pages WHERE {pip}
         GROUP BY 1
     """
+
+
+def q_tile_pyramid(copies: int, page_res: int, max_res: int) -> str:
+    """DuckDB twin of ops.tile_pyramid: per-level direct aggregation —
+    equal to the engine's child-rollup by the to_parent nesting
+    invariant."""
+    selects = [
+        f"""SELECT CAST({z} AS BIGINT) AS z,
+                   {synth.dd_to_parent('cell', z)} AS tile,
+                   COUNT(*) AS n_pages
+            FROM pages GROUP BY 2"""
+        for z in range(max_res + 1)
+    ]
+    return (
+        f"WITH pages AS ({dd_pages_cte(copies, page_res)})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
