@@ -330,6 +330,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING, bits=32)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the simhash near-dup pairs → keeper
+    assignment (cluster = min doc id in component, singletons included)
+    vs the DuckDB recursive-transitive-closure twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING, bits=32)
+    return dd.dup_clusters(pairs, all_ids=docs.select("doc_id"))
+
+
 IVF_CENTROIDS = 8
 IVF_NPROBE = 3
 
@@ -516,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "knn_rings": q_knn_rings,
@@ -561,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dd.dd_lsh_candidates(bands=4, rows_per_band=4, n=3),
         "simhash": dd.dd_simhash(bits=32),
         "simhash_pairs": dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 32),
+        "dup_clusters": dd.dd_dup_clusters(
+            dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 32),
+            include_all_from="doc_id AS id FROM documents",
+        ),
         "ann_ivf": (
             "SELECT query_id, rank, vec_id FROM ("
             + dd_ann_topk_ivf(ANN_K, ANN_QUERIES, IVF_CENTROIDS, IVF_NPROBE)

@@ -22,6 +22,7 @@ from .cachepool import CachePool
 from .text import fingerprint, dd_fingerprint
 
 _LSH_POOL = CachePool()
+_CLUSTER_POOL = CachePool()
 
 # md5-prefix → int64: both engines can take the first 15 hex chars
 # (60 bits, fits BIGINT exactly).
@@ -425,3 +426,111 @@ def dd_simhash_pairs(max_hamming: int = 3, bits: int = 32) -> str:
         FROM cand
         WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    all_ids: Optional[DataFrame] = None,
+    ida: str = "ida",
+    idb: str = "idb",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster) with
+    ``cluster`` = the smallest doc id in the component (the canonical
+    keeper) — the assignment step every dedup pipeline runs after pair
+    mining (exact/jaccard/minhash/simhash/embedding pairs all feed it).
+
+    Min-label propagation with path halving: each round takes the min
+    over (own label, neighbors' labels, label-of-label) — the second
+    hop doubles propagation distance, so convergence is
+    O(log diameter) rounds, not O(diameter); each round is two
+    equi-joins + one groupBy over the edge/label relations (component
+    state only, never the corpus).  Each round's labels
+    ``localCheckpoint`` eagerly — the round plan references the
+    previous labels three times, so without lineage truncation the
+    logical plan TRIPLES per round and OOMs the driver around round 10
+    (the standard iterative-algorithm pattern; a lost executor replays
+    at most one round from the checkpoint blocks).
+
+    ``all_ids``: optional (id) DataFrame of the full corpus — isolated
+    docs come back as their own singleton cluster."""
+    _CLUSTER_POOL.new_generation()
+    e = pairs.select(F.col(ida).alias("a"), F.col(idb).alias("b"))
+    edges = _CLUSTER_POOL.add(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .select(edges["a"].alias("id"), F.col("label"))
+        )
+        one_hop = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        l2 = one_hop.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
+        halved = (
+            one_hop.join(l2, one_hop["label"] == l2["__lid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__llabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            halved.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = halved
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster"))
+    if all_ids is not None:
+        singles = (
+            all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+            .join(out, on="id", how="left_anti")
+            .withColumn("cluster", F.col("id"))
+        )
+        out = out.unionByName(singles)
+    return out
+
+
+def dd_dup_clusters(edges_sql: str, include_all_from: Optional[str] = None) -> str:
+    """DuckDB twin of :func:`dup_clusters`: recursive transitive
+    closure over the (ida, idb) pair relation, cluster = min reachable
+    id.  ``edges_sql`` must select columns ida, idb."""
+    base = f"""
+        WITH RECURSIVE edges AS MATERIALIZED (
+            SELECT ida AS a, idb AS b FROM ({edges_sql})
+            UNION
+            SELECT idb AS a, ida AS b FROM ({edges_sql})
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+        ),
+        clustered AS (
+            SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+            FROM reach GROUP BY a
+        )"""
+    if include_all_from is None:
+        return base + "\n        SELECT id, cluster FROM clustered"
+    return base + f""",
+        everyone AS (SELECT {include_all_from})
+        SELECT e.id, COALESCE(c.cluster, e.id) AS cluster
+        FROM everyone e LEFT JOIN clustered c USING (id)"""

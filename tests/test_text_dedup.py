@@ -335,3 +335,22 @@ def test_ivf_sampled_fit_exhaustive_equals_brute(spark, sf_dir):
         for r in ann_topk_ivf(emb, q, 5, n_centroids=4, nprobe=4).collect()
     }
     assert ivf == brute
+
+
+def test_dup_clusters_chain_and_singletons(spark):
+    """Path-halving label propagation must converge on a 200-node chain
+    (O(log diameter) rounds, far under max_iter) and assign singletons
+    to themselves."""
+    from hexspark.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "ida: long, idb: long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(203)], "id: long")
+    out = {r["id"]: r["cluster"] for r in dup_clusters(chain, all_ids=ids).collect()}
+    assert all(out[i] == 0 for i in range(201))
+    assert out[201] == 201 and out[202] == 202
+    # empty pair set: everyone a singleton
+    empty = spark.createDataFrame([], "ida: long, idb: long")
+    out2 = {r["id"]: r["cluster"] for r in dup_clusters(empty, all_ids=ids).collect()}
+    assert out2 == {i: i for i in range(203)}
