@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 from . import cells as cx
 from . import cells_np as cnp
 from . import constants as K
+from .cachepool import CachePool
+
+_BUILD_POOL = CachePool()
 
 VALUE_POLICIES = ("min", "max", "count", "sum", "any")
 
@@ -310,9 +313,15 @@ def compact_df(
     res_c = cx.res(cell_col)
     fine = src.filter(res_c >= prefix_res)
     coarse = src.filter(res_c < prefix_res)
-    pass1 = fine.groupBy(
-        cx.to_parent(cell_col, prefix_res).alias("__pfx")
-    ).applyInPandas(lambda key, pdf: _compact_group(pdf), schema=schema)
+    # pooled persist: pass1 feeds TWO branches (deep_final + residue);
+    # without the barrier each branch re-runs the dominant per-group
+    # numpy fixpoint — the exact cost this path exists to parallelize
+    _BUILD_POOL.new_generation()
+    pass1 = _BUILD_POOL.add(
+        fine.groupBy(cx.to_parent(cell_col, prefix_res).alias("__pfx"))
+        .applyInPandas(lambda key, pdf: _compact_group(pdf), schema=schema)
+        .persist()
+    )
     # only cells that reached res <= B can still cascade; deeper
     # survivors are final (their groups ran to fixpoint)
     deep_final = pass1.filter(res_c > prefix_res)

@@ -18,16 +18,20 @@ usual pattern), or persist the result themselves.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
-_ALL_POOLS: list["CachePool"] = []
+# weak registry: a pool created outside module scope (tests, per-job
+# pools) must not be pinned — plus its cached DataFrames — forever
+_ALL_POOLS: "weakref.WeakSet[CachePool]" = weakref.WeakSet()
 
 
 class CachePool:
     def __init__(self, keep_generations: int = 1):
         self._gens: list[list[DataFrame]] = []
         self._keep = keep_generations
-        _ALL_POOLS.append(self)
+        _ALL_POOLS.add(self)
 
     def new_generation(self) -> None:
         """Start a new call: retire generations beyond ``keep``."""
@@ -62,5 +66,5 @@ def clear_all(blocking: bool = False) -> None:
     this between timed rounds so a repeat of an operator whose internal
     persist plan is identical (polyfill rects, LSH signatures) measures
     real recomputation, not a CacheManager hit from the prior round."""
-    for p in _ALL_POOLS:
+    for p in list(_ALL_POOLS):
         p.clear(blocking=blocking)

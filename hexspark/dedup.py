@@ -455,9 +455,17 @@ def dup_clusters(
     ``all_ids``: optional (id) DataFrame of the full corpus — isolated
     docs come back as their own singleton cluster."""
     _CLUSTER_POOL.new_generation()
-    e = pairs.select(F.col(ida).alias("a"), F.col(idb).alias("b"))
+    # symmetrize in ONE pass over the pair relation: a union of two
+    # selects would evaluate the caller's (corpus-scale) pair-mining
+    # plan twice before the persist captures the result
     edges = _CLUSTER_POOL.add(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col(ida).alias("a"), F.col(idb).alias("b")),
+                F.struct(F.col(idb).alias("a"), F.col(ida).alias("b")),
+            )).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .persist()
     )
@@ -498,6 +506,14 @@ def dup_clusters(
         labels = halved
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split one duplicate component
+        # across cluster ids (keeping both copies) with no signal
+        raise RuntimeError(
+            f"dup_clusters: not converged within max_iter={max_iter}"
+            " rounds — component diameter exceeds ~2^max_iter; raise"
+            " max_iter"
+        )
     out = labels.select("id", F.col("label").alias("cluster"))
     if all_ids is not None:
         singles = (
@@ -514,10 +530,11 @@ def dd_dup_clusters(edges_sql: str, include_all_from: Optional[str] = None) -> s
     closure over the (ida, idb) pair relation, cluster = min reachable
     id.  ``edges_sql`` must select columns ida, idb."""
     base = f"""
-        WITH RECURSIVE edges AS MATERIALIZED (
-            SELECT ida AS a, idb AS b FROM ({edges_sql})
+        WITH RECURSIVE src AS MATERIALIZED ({edges_sql}),
+        edges AS MATERIALIZED (
+            SELECT ida AS a, idb AS b FROM src
             UNION
-            SELECT idb AS a, ida AS b FROM ({edges_sql})
+            SELECT idb AS a, ida AS b FROM src
         ),
         reach(a, b) AS (
             SELECT a, b FROM edges
