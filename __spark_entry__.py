@@ -556,8 +556,8 @@ def oracle_sql() -> dict[str, str]:
             ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES, ROLLUP_TILE_RES
         ),
         "subtree_sum": oracles.q_subtree_sum(),
-        "knn": oracles.q_knn(KNN_K, COPIES),
-        "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES),
+        "knn": oracles.q_knn(KNN_K, COPIES, PAGE_RES),
+        "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),
         "uncompact": oracles.q_uncompact(),

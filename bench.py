@@ -6,7 +6,7 @@ Prints ONE JSON line:
 The headline metric is spatial-join throughput (pages/sec geotagged →
 region-assigned); ``value`` is total wall time of the query suite.
 Pages are amplified deterministically from the documents table
-(``BENCH_COPIES``) so sf0.1 exercises ~2M pages.  Run
+(``BENCH_COPIES``, default 4000) so sf0.1 exercises 20M pages.  Run
 ``python bench_scaling.py`` for the N-vs-4N cores scaling evidence
 (BENCH/BASELINE.md).
 """
@@ -90,8 +90,15 @@ def run(spark) -> tuple[dict, dict]:
     n_pages = timed("materialize_pages", lambda: raw.count(), rounds=1)
     extras["n_pages"] = n_pages
 
-    regions = ops.region_map(spark).persist()
-    timed("build_region_map", lambda: regions.count(), rounds=1)
+    # time the WHOLE region-map build (polyfill + driver-side
+    # EqCompactor build run eagerly inside region_map, not just the
+    # materializing count)
+    def _build_map():
+        r = ops.region_map(spark).persist()
+        r.count()
+        return r
+
+    regions = timed("build_region_map", _build_map, rounds=1)
 
     def geotagged():
         lat, lon = synth.latlon_from_key(F.col("page_key"))
@@ -150,8 +157,7 @@ def run(spark) -> tuple[dict, dict]:
         lambda: jx.subtree_agg(region8, probes, [F.sum("qty").alias("s")], probe_col="probe").collect(),
     )
 
-    # q6: exact dedup over documents
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # q6: exact dedup over documents (reuses the setup docs relation)
     timed("q6_dedup_exact", lambda: dedup_exact(docs).count())
 
     # q7: ANN brute top-k over embeddings

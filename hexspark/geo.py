@@ -266,6 +266,26 @@ def pip_column(lat: Column, lon: Column, polygon: Sequence[tuple[float, float]])
     return (acc % 2) == 1
 
 
+def polyfill_grid(
+    polygon: Sequence[tuple[float, float]], res: int
+) -> tuple[float, float, float, float, int, int]:
+    """Centroid-lattice derivation shared by :func:`polyfill`, the
+    hierarchical variant's coarse start, and the DuckDB oracle twin
+    (hexspark.oracles.dd_polyfill_cte) — ONE source of truth for grid
+    pitch, bbox snap, and extent, so the two engines cannot drift.
+    Returns (px, py, lat0, lon0, nx, ny)."""
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    # grid pitch at res: x-axis refined ceil(res/2) times, y floor(res/2)
+    px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
+    py = 180.0 / (GRID_DIM * 7 ** (res // 2))
+    lat0 = math.floor((min(lats) + 90.0) / py) * py - 90.0
+    lon0 = math.floor((min(lons) + 180.0) / px) * px - 180.0
+    ny = int(math.ceil((max(lats) - lat0) / py)) + 1
+    nx = int(math.ceil((max(lons) - lon0) / px)) + 1
+    return px, py, lat0, lon0, nx, ny
+
+
 def polyfill(
     spark,
     polygon: Sequence[tuple[float, float]],
@@ -285,15 +305,9 @@ def polyfill(
     instead of area — same output set (tested)."""
     lats = [p[0] for p in polygon]
     lons = [p[1] for p in polygon]
-    # grid pitch at res: x-axis refined ceil(res/2) times, y floor(res/2)
-    px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
-    py = 180.0 / (GRID_DIM * 7 ** (res // 2))
+    px, py, lat0, lon0, nx, ny = polyfill_grid(polygon, res)
     if ((max(lats) - min(lats)) / py + 2) * ((max(lons) - min(lons)) / px + 2) > flat_budget:
         return polyfill_hier(spark, polygon, res)
-    lat0 = math.floor((min(lats) + 90.0) / py) * py - 90.0
-    lon0 = math.floor((min(lons) + 180.0) / px) * px - 180.0
-    ny = int(math.ceil((max(lats) - lat0) / py)) + 1
-    nx = int(math.ceil((max(lons) - lon0) / px)) + 1
     grid = (
         spark.range(ny * nx)
         .select(

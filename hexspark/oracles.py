@@ -11,11 +11,9 @@ drift — this is the engine's analogue of the reference's
 
 from __future__ import annotations
 
-import math
-
 from . import constants as K
 from . import synth
-from .geo import GRID_DIM, dd_grid_encode, pip_sql_predicate
+from .geo import dd_grid_encode, pip_sql_predicate
 from .pages import dd_pages_cte
 
 
@@ -53,15 +51,12 @@ def dd_compact_set_cte(src_cte: str, max_res: int) -> str:
 
 
 def dd_polyfill_cte(polygon, res: int, name: str) -> str:
-    """SQL twin of hexspark.geo.polyfill for one polygon."""
-    lats = [p[0] for p in polygon]
-    lons = [p[1] for p in polygon]
-    px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
-    py = 180.0 / (GRID_DIM * 7 ** (res // 2))
-    lat0 = math.floor((min(lats) + 90.0) / py) * py - 90.0
-    lon0 = math.floor((min(lons) + 180.0) / px) * px - 180.0
-    ny = int(math.ceil((max(lats) - lat0) / py)) + 1
-    nx = int(math.ceil((max(lons) - lon0) / px)) + 1
+    """SQL twin of hexspark.geo.polyfill for one polygon — the lattice
+    comes from the SAME helper (geo.polyfill_grid) the Spark side uses,
+    so pitch/snap/extent cannot drift between engines."""
+    from .geo import polyfill_grid
+
+    px, py, lat0, lon0, nx, ny = polyfill_grid(polygon, res)
     lat = f"({lat0!r} + ((FLOOR(i / {nx}) + 0.5) * {py!r}))"
     lon = f"({lon0!r} + (((i % {nx}) + 0.5) * {px!r}))"
     pip = pip_sql_predicate(lat, lon, polygon)
@@ -174,7 +169,7 @@ def q_tile_xyz(copies: int, page_res: int, tile_res: int) -> str:
             SELECT {tile} AS tile, COUNT(*) AS n_pages
             FROM pages GROUP BY 1
         )
-        SELECT {tile_res} AS z, {i} AS x, {j} AS y, tile, n_pages
+        SELECT CAST({tile_res} AS BIGINT) AS z, {i} AS x, {j} AS y, tile, n_pages
         FROM tiles
     """
 
@@ -235,10 +230,10 @@ def q_subtree_sum() -> str:
     """
 
 
-def q_knn(k: int, copies: int) -> str:
+def q_knn(k: int, copies: int, page_res: int = 12) -> str:
     alat, alon = synth.dd_latlon_from_key("(n_nationkey * 7919 + 13)")
     return f"""
-        WITH pages AS ({dd_pages_cte(copies, 12)}),
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
         anchors AS (
             SELECT n_nationkey AS anchor_id, {alat} AS alat, {alon} AS alon
             FROM nation WHERE n_nationkey < 5
@@ -362,10 +357,10 @@ def q_knn_rings(
     """
 
 
-def q_point_in_polygon(regions: dict, copies: int) -> str:
+def q_point_in_polygon(regions: dict, copies: int, page_res: int = 12) -> str:
     pip = pip_sql_predicate("lat", "lon", regions["alpha"])
     return f"""
-        WITH pages AS ({dd_pages_cte(copies, 12)})
+        WITH pages AS ({dd_pages_cte(copies, page_res)})
         SELECT lang, COUNT(*) AS n_pages
         FROM pages WHERE {pip}
         GROUP BY 1
