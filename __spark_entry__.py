@@ -428,6 +428,18 @@ def q_embed_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dups(emb, DUP_THRESHOLD, dim=64, exact=True)
 
 
+SESSION_GAP_S = 1800
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization (session_window) vs the gaps-and-islands
+    DuckDB twin — exact boundary semantics hash-gated."""
+    from hexspark.streaming import event_sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_sessions(events, gap_seconds=SESSION_GAP_S)
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup over the events table — the batch twin of
     the streaming path (same F.window primitive as
@@ -487,6 +499,12 @@ def _dd_event_windows() -> str:
     return dd_event_window_stats(hours=1)
 
 
+def _dd_event_sessions() -> str:
+    from hexspark.streaming import dd_event_sessions
+
+    return dd_event_sessions(SESSION_GAP_S)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -534,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dups": q_embed_dups,
         "polyfill_hier": q_polyfill_hier,
         "event_windows": q_event_windows,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -599,4 +618,5 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "event_windows": _dd_event_windows(),
+        "event_sessions": _dd_event_sessions(),
     }

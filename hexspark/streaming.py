@@ -196,3 +196,65 @@ def windowed_page_counts(
         .agg(F.count("*").alias("n_pages"))
         .select(F.col("w.start").alias("window_start"), "tile", "n_pages")
     )
+
+
+def event_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user sessionization: events closer than ``gap_seconds`` chain
+    into one session (native ``F.session_window`` — dynamic-gap merge
+    inside the aggregation, one shuffle on the user key; the same
+    primitive runs under Structured Streaming with a watermark for the
+    late-data path).  Boundary semantics: a gap of exactly
+    ``gap_seconds`` STARTS a new session (session windows are half-open
+    — verified against the gaps-and-islands twin).
+
+    Returns (user, session_start, n_events, first_event, last_event) —
+    all exact integer/timestamp aggregates, so the DuckDB twin
+    (:func:`dd_event_sessions`) hash-matches."""
+    w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        events.groupBy(F.col(key_col), w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(id_col).alias("first_event"),
+            F.max(id_col).alias("last_event"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def dd_event_sessions(gap_seconds: int = 1800) -> str:
+    """DuckDB twin of :func:`event_sessions`: classic gaps-and-islands —
+    LAG to flag session starts (strictly ``>= gap``, matching Spark's
+    half-open session windows), running sum for session ids, group."""
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '{gap_seconds} seconds'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS sid
+            FROM ordered
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM sess GROUP BY user_id, sid
+    """
