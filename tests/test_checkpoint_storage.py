@@ -428,3 +428,48 @@ def test_streaming_dedup_exact(spark, tmp_path):
     # every distinct fingerprint exactly once — cross-batch dups dropped
     assert sorted(got_fps) == sorted(want_fps)
     assert len(got_fps) == 100
+
+
+def test_streaming_event_sessions(spark, tmp_path):
+    """event_sessions under Structured Streaming: watermarked session
+    windows across forced micro-batches must emit exactly the batch
+    sessions whose window closed before the final watermark (append
+    mode), value-identical to the batch twin."""
+    from hexspark.streaming import event_sessions
+
+    src_dir = str(tmp_path / "esrc")
+    ev = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        # bursts: 5 events 10s apart, then a 2h gap
+        F.timestamp_seconds(
+            F.lit(1700000000)
+            + (F.col("id") / 35).cast("long") * 7200
+            + (F.col("id") % 35) * 10
+        ).alias("ts"),
+    ).cache()
+    cols = ["event_id", "user_id", "ts"]
+    ev.filter(F.col("id") < 1000).select(cols).coalesce(1).write.mode("append").parquet(src_dir)
+    ev.filter(F.col("id") >= 1000).select(cols).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sessions = event_sessions(
+        stream.withWatermark("ts", "0 seconds"), gap_seconds=1800
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("ssess")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "esckpt")).start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssess").collect()}
+    batch = event_sessions(spark.read.parquet(src_dir), gap_seconds=1800)
+    want_all = {tuple(r) for r in batch.collect()}
+    # emitted sessions are exact batch sessions; only those still open
+    # at the final watermark may be withheld
+    assert got <= want_all
+    assert len(got) >= len(want_all) - 7  # at most one open session/user
+    assert len(got) > 0
