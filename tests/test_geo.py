@@ -287,3 +287,50 @@ def test_cachepool_generations(spark):
     assert dfs[2].storageLevel.useMemory is True
     pool.clear()
     assert dfs[2].storageLevel.useMemory is False
+
+
+def test_digits_array_golden_and_center_roundtrip(spark):
+    """C7 Digits iterator parity: the documentation-example cell
+    0x85283473fffffff yields digits [0,6,4,3,4]
+    (/root/reference/src/digits.rs:44-52); grid_cell_center is the
+    exact inverse of grid_encode at every res."""
+    from hexspark import cells as cxx
+    from hexspark.geo import grid_cell_center
+
+    df = spark.createDataFrame([(0x85283473FFFFFFF,)], "cell: long")
+    got = df.select(cxx.digits_array("cell").alias("d")).first()["d"]
+    assert got == [0, 6, 4, 3, 4]
+    # res-0 cell: empty digit list
+    base_only = df.select(
+        cxx.digits_array(cxx.to_parent("cell", 0)).alias("d")
+    ).first()["d"]
+    assert base_only == []
+    # center → re-encode roundtrip across resolutions
+    for r in (0, 3, 7, 12):
+        cells = grid_encode_np(LAT[:40], LON[:40], r)
+        for c in cells[:10]:
+            lat, lon = grid_cell_center(int(c))
+            assert int(grid_encode_np(np.array([lat]), np.array([lon]), r)[0]) == int(c)
+
+
+def test_knn_join_haversine_metric(spark):
+    """The haversine metric path: golden great-circle distance (1° of
+    longitude at the equator ≈ 111.195 km) and a ranked kNN run."""
+    from hexspark.geo import haversine_km, knn_join
+
+    one_deg = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0)], "a: double, b: double, c: double, d: double")
+    km = one_deg.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).first()["km"]
+    assert abs(km - 111.195) < 0.01
+    pts = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in zip(LAT[:100], LON[:100])],
+        "lat: double, lon: double",
+    )
+    anchors = spark.createDataFrame(
+        [(1, 10.0, 20.0)], "anchor_id: long, alat: double, alon: double"
+    )
+    out = knn_join(pts, anchors, 5, metric="haversine").collect()
+    assert len(out) == 5
+    dists = [r["dist"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
