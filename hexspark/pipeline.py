@@ -86,3 +86,81 @@ def run_pipeline(
         "tile_rollup": tiles,
         "lineage": ck.lineage(),  # type: ignore[dict-item]
     }
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    max_hamming: int = 3,
+    min_quality: float = 0.0,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the training-corpus curation pipeline end to end
+    — the dedup analogue of :func:`run_pipeline`, every stage
+    checkpointed with per-partition lineage:
+
+    1. ``doc_features``  — tokens / words / lang / quality / fingerprint
+    2. ``dup_pairs``     — simhash Hamming-budget near-dup pairs
+    3. ``dup_clusters``  — connected components → cluster/keeper ids
+    4. ``keepers``       — one doc per cluster (min id) above the
+       quality floor — the curated corpus
+    5. ``corpus_stats``  — per-language keeper counts + token totals
+       (with the pre-dedup counts for the reduction ratio)
+    """
+    from . import dedup as ddp
+    from . import text as tx
+
+    ck = Checkpointer(spark, work_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    feats = ck.stage(
+        "doc_features",
+        lambda: docs.select(
+            "doc_id",
+            "text",
+            tx.token_count(F.col("text")).alias("toks"),
+            tx.lang_id(F.col("text")).alias("lang_guess"),
+            tx.quality_score(F.col("text")).alias("quality"),
+            tx.fingerprint(F.col("text")).alias("fp"),
+        ),
+    )
+
+    pairs = ck.stage(
+        "dup_pairs",
+        lambda: ddp.simhash_pairs(docs, max_hamming=max_hamming, bits=32),
+        inputs=["doc_features"],
+    )
+
+    clusters = ck.stage(
+        "dup_clusters",
+        lambda: ddp.dup_clusters(pairs, all_ids=docs.select("doc_id")),
+        inputs=["dup_pairs"],
+    )
+
+    keepers = ck.stage(
+        "keepers",
+        lambda: feats.join(
+            clusters.withColumnRenamed("id", "doc_id"), on="doc_id"
+        )
+        .filter((F.col("doc_id") == F.col("cluster")) & (F.col("quality") >= min_quality))
+        .drop("text"),
+        inputs=["doc_features", "dup_clusters"],
+    )
+
+    stats = ck.stage(
+        "corpus_stats",
+        lambda: keepers.groupBy("lang_guess").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_toks"),
+        ),
+        inputs=["keepers"],
+    )
+
+    return {
+        "doc_features": feats,
+        "dup_pairs": pairs,
+        "dup_clusters": clusters,
+        "keepers": keepers,
+        "corpus_stats": stats,
+        "lineage": ck.lineage(),  # type: ignore[dict-item]
+    }

@@ -34,3 +34,34 @@ def test_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     out3 = run_pipeline(spark, sf_dir, work, copies=2)
     counts3 = {r["region"]: r["n_pages"] for r in out3["region_counts"].collect()}
     assert counts3 == counts1
+
+
+def test_corpus_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
+    """End-to-end corpus curation (features → simhash pairs → clusters
+    → keepers → stats) with checkpoint/resume: second run must read
+    every stage back instead of recomputing, outputs identical."""
+    from hexspark.pipeline import run_corpus_pipeline
+
+    root = str(tmp_path / "corpus")
+    out = run_corpus_pipeline(spark, sf_dir, root)
+    stats1 = sorted(tuple(r) for r in out["corpus_stats"].collect())
+    assert stats1
+    keepers = out["keepers"].collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0 < len(keepers) <= n_docs
+    # keepers are cluster representatives: id == cluster, unique
+    assert all(r["doc_id"] == r["cluster"] for r in keepers)
+    assert len({r["doc_id"] for r in keepers}) == len(keepers)
+    lin = out["lineage"]
+    for st in ("doc_features", "dup_pairs", "dup_clusters", "keepers", "corpus_stats"):
+        assert lin[st]["complete"] and lin[st]["rows"] >= 0, st
+    wall1 = {s: lin[s]["wall_sec"] for s in lin}
+    # resume: manifests unchanged (no recompute — finished_at identical)
+    out2 = run_corpus_pipeline(spark, sf_dir, root)
+    stats2 = sorted(tuple(r) for r in out2["corpus_stats"].collect())
+    assert stats2 == stats1
+    lin2 = out2["lineage"]
+    assert {s: lin2[s]["finished_at"] for s in lin2} == {
+        s: lin[s]["finished_at"] for s in lin
+    }
+    assert wall1  # silence unused warnings
