@@ -128,7 +128,6 @@ def run_corpus_pipeline(
     pairs = ck.stage(
         "dup_pairs",
         lambda: ddp.simhash_pairs(docs, max_hamming=max_hamming, bits=32),
-        inputs=["doc_features"],
     )
 
     clusters = ck.stage(
