@@ -43,7 +43,7 @@ def dd_h64(s: str) -> str:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles from normalized text."""
-    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n\x0B\f\r]+", " "), " ")
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     return F.when(
@@ -56,7 +56,7 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def dd_shingles(text: str, n: int = 3) -> str:
     """DuckDB twin of :func:`shingles` (list comprehension over splits)."""
-    words = f"string_split(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'), ' ')"
+    words = f"string_split(regexp_replace(lower(trim({text})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')"
     join = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
     return (
         f"(CASE WHEN len({words}) >= {n} THEN "
@@ -314,7 +314,7 @@ def dd_simhash(bits: int = 32) -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id AS id,
-                   UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+                   UNNEST(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) AS tok
             FROM documents
         ),
         hashed AS (SELECT id, {h} AS h FROM toks),
@@ -330,7 +330,7 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
     toks = docs.select(
         F.col(key_col).alias("id"),
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+", " "), " ")
         ).alias("tok"),
     )
     h = _h64(F.col("tok"))

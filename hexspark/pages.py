@@ -30,14 +30,22 @@ def page_key(doc_id: Column, copy: Column, copies: int) -> Column:
     return (doc_id * copies + copy).cast("long")
 
 
+def _escape(col: Column) -> Column:
+    return F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;"))
+
+
 def make_html(text: Column, title: Column) -> Column:
-    """Deterministic html bytes embedding the (escaped) document text."""
-    escaped = F.replace(F.replace(text, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;"))
+    """Deterministic html bytes embedding the (escaped) document text.
+
+    The title escapes through the SAME chain as the body: an unescaped
+    title containing markup (e.g. a ``<body><p>`` substring in a URL)
+    would shift :func:`extract_text`'s anchor and corrupt the
+    byte-identity invariant."""
     page = F.concat(
         F.lit("<html><head><title>"),
-        title,
+        _escape(title),
         F.lit("</title></head><body><p>"),
-        escaped,
+        _escape(text),
         F.lit("</p></body></html>"),
     )
     return F.encode(page, "UTF-8")
@@ -72,6 +80,11 @@ def synth_pages(
     ``page_key`` (the pluggable geocoder's test-scale implementation,
     see :mod:`hexspark.geo`); ``cell`` = grid-encoded at ``res``.
     """
+    if copies < 1:
+        # F.sequence(0, copies-1) would silently step BACKWARDS for
+        # copies=0 (emitting copy=-1 rows) while the DuckDB twin's
+        # RANGE(0) emits nothing — fail loudly instead of diverging
+        raise ValueError(f"synth_pages: copies must be >= 1, got {copies}")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
         F.col("doc_id"),

@@ -20,10 +20,15 @@ def get_spark(
     On a real cluster the same confs apply — only ``master`` changes
     (``spark-submit --py-files hexspark.zip``).
     """
-    master = master or os.environ.get("HEXSPARK_MASTER", "local[*]")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus and master.startswith("local["):
-        master = f"local[{cpus}]"
+    # SPARK_GRAFT_CPUS is a DEFAULT, not an override: an explicitly
+    # passed master always wins (bench_scaling's N-vs-4N legs and the
+    # test fixture pass exact core counts — a silent env rewrite would
+    # run both scaling legs at the same width and fake the efficiency)
+    if master is None:
+        master = os.environ.get("HEXSPARK_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("HEXSPARK_SHUFFLE_PARTITIONS", "32"))
 

@@ -6,8 +6,9 @@ handled explicitly"):
 
 * AQE skew-join splitting — on by default (hexspark.session).
 * ``salted_agg`` — two-phase aggregation for skewed groupBy keys when
-  a single reducer key would bottleneck (count-distinct-heavy aggs;
-  plain sums/counts already do map-side partial aggregation).
+  a single reducer key would bottleneck.  For count-distinct partials
+  pass ``salt_expr=<the distinct column>`` so each distinct value maps
+  to exactly one salt (random salting would overcount).
 * ``repartition_by_cell_prefix`` — range partitioning on a coarse cell
   prefix (+ optional salt) so co-located subtree scans and downstream
   joins read contiguous, balanced partitions; pairs with sorted
@@ -30,6 +31,7 @@ def salted_agg(
     n_salts: int,
     partial_aggs: Sequence[Column],
     final_aggs: Sequence[Column],
+    salt_expr: Optional[Column] = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -40,8 +42,23 @@ def salted_agg(
         salted_agg(pages, "tile", 16,
                    [F.count("*").alias("c")],
                    [F.sum("c").alias("n_pages")])
+
+    ``salt_expr``: how rows salt.  Default (None) is a seeded random
+    salt — correct ONLY for algebraic partials (count/sum/min/max)
+    whose merge doesn't care which salt saw which row.  For
+    **count-distinct** partials the salt MUST be a function of the
+    distinct column, e.g. ``salt_expr=F.col("lang")``, so every
+    occurrence of one value lands in exactly one salt group::
+
+        salted_agg(pages, "tile", 16,
+                   [F.count_distinct("lang").alias("d")],
+                   [F.sum("d").alias("n_langs")],
+                   salt_expr=F.col("lang"))
     """
-    salt = (F.rand(seed=42) * n_salts).cast("int").alias("__salt")
+    if salt_expr is None:
+        salt = (F.rand(seed=42) * n_salts).cast("int")
+    else:
+        salt = F.pmod(F.xxhash64(salt_expr), F.lit(n_salts))
     phase1 = df.withColumn("__salt", salt).groupBy(key, "__salt").agg(*partial_aggs)
     return phase1.groupBy(key).agg(*final_aggs)
 
@@ -69,8 +86,12 @@ def repartition_by_cell_prefix(
     Rows of one subtree land in contiguous partitions → subtree scans
     (descendants, tile rollups) prune partitions; with ``salt_hot`` a
     secondary key spreads a pathological single-prefix hot spot across
-    partitions while preserving prefix locality."""
-    prefix = cx.to_parent(cell_col, prefix_res)
+    partitions while preserving prefix locality.
+
+    Cells COARSER than ``prefix_res`` cannot demote (``to_parent``
+    yields NULL) — they keep their own cell as the range key instead of
+    collapsing into one NULL-keyed partition."""
+    prefix = F.coalesce(cx.to_parent(cell_col, prefix_res), F.col(cell_col))
     keys = [prefix]
     if salt_hot:
         keys.append(F.xxhash64(F.col(salt_col)) if salt_col else F.spark_partition_id())

@@ -55,8 +55,17 @@ def write_region_iceberg(
     pruning.  Requires an Iceberg catalog on the session
     (spark.sql.catalog.* confs + iceberg-spark-runtime jar) — absent
     here, this raises with guidance rather than writing a plain table
-    silently."""
-    keyed = df.withColumn("__lo", cx.lo(cell_col)).sortWithinPartitions("__lo")
+    silently.
+
+    Unlike the parquet path (whose ``read_region`` twin hides the sort
+    key), the Iceberg table is consumed by arbitrary SQL — so the
+    internal ``__lo`` column is dropped before the write; sort order is
+    applied within partitions and preserved by the write."""
+    keyed = (
+        df.withColumn("__lo", cx.lo(cell_col))
+        .sortWithinPartitions("__lo")
+        .drop("__lo")
+    )
     try:
         keyed.writeTo(table).using("iceberg").createOrReplace()
     except Exception as e:  # catalog/jar missing

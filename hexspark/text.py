@@ -18,8 +18,8 @@ STOPWORDS = {
     "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
 }
 
-TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"  # BPE-ish: words or single punct
-WORD_SPLIT_RE = r"\s+"
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0B\f\r]"  # BPE-ish: words or single punct
+WORD_SPLIT_RE = r"[ \t\n\x0B\f\r]+"
 
 
 def token_count(text: Column) -> Column:
@@ -52,26 +52,30 @@ def dd_stopword_hits(text: str, lang: str) -> str:
 
 
 def lang_id(text: Column) -> Column:
-    """Heuristic language ID: argmax of stopword hits, 'und' when zero."""
-    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
-    best_lang = F.lit("und")
-    best_hits = F.lit(0).cast("long")
-    for lang in sorted(STOPWORDS):  # deterministic tie-break: first alphabetical wins ties via strict >
-        h = hits[lang]
-        take = h > best_hits
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(take, h).otherwise(best_hits)
-    return best_lang
+    """Heuristic language ID: argmax of stopword hits ('und' when all
+    zero; ties break to the alphabetically first language).
+
+    Closed form — GREATEST + one WHEN per language — so the expression
+    grows linearly in len(STOPWORDS); the old fold-style chain embedded
+    every previous branch twice per language (3^n tree growth on both
+    engines, a plan-size blowup the moment the list is extended)."""
+    langs = sorted(STOPWORDS)
+    hits = [(lang, stopword_hits(text, lang)) for lang in langs]
+    mx = F.greatest(*[h for _, h in hits]) if len(hits) > 1 else hits[0][1]
+    expr = F.when(mx == 0, F.lit("und"))
+    for lang, h in hits:  # first match wins → alphabetical tie-break
+        expr = expr.when(h == mx, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
 
 
 def dd_lang_id(text: str) -> str:
-    expr_lang = "'und'"
-    expr_hits = "CAST(0 AS BIGINT)"
-    for lang in sorted(STOPWORDS):
-        h = dd_stopword_hits(text, lang)
-        expr_lang = f"(CASE WHEN {h} > {expr_hits} THEN '{lang}' ELSE {expr_lang} END)"
-        expr_hits = f"(CASE WHEN {h} > {expr_hits} THEN {h} ELSE {expr_hits} END)"
-    return expr_lang
+    """DuckDB twin of :func:`lang_id` (same closed form, same
+    tie-break)."""
+    langs = sorted(STOPWORDS)
+    hs = [(lang, dd_stopword_hits(text, lang)) for lang in langs]
+    mx = "GREATEST(" + ", ".join(h for _, h in hs) + ")" if len(hs) > 1 else hs[0][1]
+    whens = " ".join(f"WHEN {h} = {mx} THEN '{lang}'" for lang, h in hs)
+    return f"(CASE WHEN {mx} = 0 THEN 'und' {whens} ELSE 'und' END)"
 
 
 def quality_score(text: Column) -> Column:
@@ -82,7 +86,7 @@ def quality_score(text: Column) -> Column:
     words = word_count(text)
     stops = stopword_hits(text, "en")
     punct = F.size(
-        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9_\s]"), 0)
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9_ \t\n\x0B\f\r]"), 0)
     ).cast("long")
     len_band = F.when(n >= 200, 40).when(n >= 50, 25).when(n >= 10, 10).otherwise(0)
     stop_band = F.when(stops * 100 >= words * 20, 30).when(
@@ -96,7 +100,7 @@ def dd_quality_score(text: str) -> str:
     n = f"CAST(length({text}) AS BIGINT)"
     words = dd_word_count(text)
     stops = dd_stopword_hits(text, "en")
-    punct = f"CAST(len(regexp_extract_all({text}, '[^A-Za-z0-9_\\s]')) AS BIGINT)"
+    punct = f"CAST(len(regexp_extract_all({text}, '[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT)"
     len_band = f"(CASE WHEN {n} >= 200 THEN 40 WHEN {n} >= 50 THEN 25 WHEN {n} >= 10 THEN 10 ELSE 0 END)"
     stop_band = f"(CASE WHEN {stops} * 100 >= {words} * 20 THEN 30 WHEN {stops} * 100 >= {words} * 5 THEN 20 ELSE 5 END)"
     punct_pen = f"(CASE WHEN {punct} * 100 > {n} * 20 THEN 20 ELSE 0 END)"
@@ -106,9 +110,9 @@ def dd_quality_score(text: str) -> str:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (md5 exists identically in Spark and DuckDB)."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n\x0B\f\r]+", " ")
     return F.md5(norm)
 
 
 def dd_fingerprint(text: str) -> str:
-    return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
+    return f"md5(regexp_replace(lower(trim({text})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"

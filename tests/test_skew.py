@@ -107,3 +107,54 @@ def test_repartition_by_cell_prefix_locality(spark):
     bounds = sorted((min(v), max(v)) for v in by_pid.values())
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2  # contiguous, non-interleaved ranges
+
+
+def test_salted_count_distinct_with_value_salt(spark):
+    """count-distinct partials need a value-derived salt (each distinct
+    value → exactly one salt group); random salting would overcount.
+    Verified against the plain groupBy."""
+    from hexspark import skew as sk
+
+    df = spark.range(20000).select(
+        (F.col("id") % 7).alias("tile"),
+        F.concat(F.lit("v"), (F.col("id") % 61).cast("string")).alias("val"),
+    )
+    want = {
+        r["tile"]: r["d"]
+        for r in df.groupBy("tile").agg(F.count_distinct("val").alias("d")).collect()
+    }
+    got = {
+        r["tile"]: r["n"]
+        for r in sk.salted_agg(
+            df, "tile", 16,
+            [F.count_distinct("val").alias("d")],
+            [F.sum("d").alias("n")],
+            salt_expr=F.col("val"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_repartition_by_cell_prefix_coarse_cells(spark):
+    """Cells coarser than prefix_res keep their own range key instead
+    of collapsing into one NULL-keyed partition."""
+    import numpy as np
+
+    from hexspark import cells_np as cnp
+    from hexspark import skew as sk
+    from hexspark.geo import grid_encode_np
+
+    rng = np.random.default_rng(5)
+    fine = grid_encode_np(rng.uniform(-60, 60, 3000), rng.uniform(-170, 170, 3000), 8)
+    coarse = np.unique(cnp.to_parent(fine[:1500], 1))  # res 1 < prefix 2
+    cells = np.concatenate([fine, coarse])
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell: long")
+    out = sk.repartition_by_cell_prefix(df, prefix_res=2, num_partitions=8)
+    assert out.count() == len(cells)
+    # coarse rows spread by their own key, not one NULL partition
+    from pyspark.sql import functions as FF
+    sizes = (
+        out.withColumn("p", FF.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    assert len(sizes) > 1
