@@ -99,7 +99,9 @@ def run_corpus_pipeline(
     — the dedup analogue of :func:`run_pipeline`, every stage
     checkpointed with per-partition lineage:
 
-    1. ``doc_features``  — tokens / words / lang / quality / fingerprint
+    1. ``doc_features``  — tokens / lang / quality / fingerprint (raw
+       ``text`` deliberately NOT checkpointed — no downstream stage
+       reads it, and it is the heaviest column of the source table)
     2. ``dup_pairs``     — simhash Hamming-budget near-dup pairs
     3. ``dup_clusters``  — connected components → cluster/keeper ids
     4. ``keepers``       — one doc per cluster (min id) above the
@@ -117,7 +119,6 @@ def run_corpus_pipeline(
         "doc_features",
         lambda: docs.select(
             "doc_id",
-            "text",
             tx.token_count(F.col("text")).alias("toks"),
             tx.lang_id(F.col("text")).alias("lang_guess"),
             tx.quality_score(F.col("text")).alias("quality"),
@@ -141,8 +142,7 @@ def run_corpus_pipeline(
         lambda: feats.join(
             clusters.withColumnRenamed("id", "doc_id"), on="doc_id"
         )
-        .filter((F.col("doc_id") == F.col("cluster")) & (F.col("quality") >= min_quality))
-        .drop("text"),
+        .filter((F.col("doc_id") == F.col("cluster")) & (F.col("quality") >= min_quality)),
         inputs=["doc_features", "dup_clusters"],
     )
 

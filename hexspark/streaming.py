@@ -213,9 +213,11 @@ def event_sessions(
     ``gap_seconds`` STARTS a new session (session windows are half-open
     — verified against the gaps-and-islands twin).
 
-    Returns (user, session_start, n_events, first_event, last_event) —
-    all exact integer/timestamp aggregates, so the DuckDB twin
-    (:func:`dd_event_sessions`) hash-matches."""
+    Returns (user, session_start, n_events, first_event, last_event).
+    ``session_start`` is a formatted string (session TZ pinned UTC) —
+    the same precedent as :func:`event_window_stats`: raw timestamps
+    don't compare byte-identically across engines (DuckDB microseconds
+    vs Spark's nanosecond pandas conversion in hashed comparisons)."""
     w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
     return (
         events.groupBy(F.col(key_col), w.alias("w"))
@@ -226,7 +228,9 @@ def event_sessions(
         )
         .select(
             key_col,
-            F.col("w.start").alias("session_start"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
             "n_events",
             "first_event",
             "last_event",
@@ -254,7 +258,9 @@ def dd_event_sessions(gap_seconds: int = 1800) -> str:
             ) AS sid
             FROM ordered
         )
-        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events,
                MIN(event_id) AS first_event, MAX(event_id) AS last_event
         FROM sess GROUP BY user_id, sid
     """

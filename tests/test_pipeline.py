@@ -55,7 +55,6 @@ def test_corpus_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     lin = out["lineage"]
     for st in ("doc_features", "dup_pairs", "dup_clusters", "keepers", "corpus_stats"):
         assert lin[st]["complete"] and lin[st]["rows"] >= 0, st
-    wall1 = {s: lin[s]["wall_sec"] for s in lin}
     # resume: manifests unchanged (no recompute — finished_at identical)
     out2 = run_corpus_pipeline(spark, sf_dir, root)
     stats2 = sorted(tuple(r) for r in out2["corpus_stats"].collect())
@@ -64,4 +63,3 @@ def test_corpus_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     assert {s: lin2[s]["finished_at"] for s in lin2} == {
         s: lin[s]["finished_at"] for s in lin
     }
-    assert wall1  # silence unused warnings

@@ -151,10 +151,14 @@ def test_repartition_by_cell_prefix_coarse_cells(spark):
     df = spark.createDataFrame([(int(c),) for c in cells], "cell: long")
     out = sk.repartition_by_cell_prefix(df, prefix_res=2, num_partitions=8)
     assert out.count() == len(cells)
-    # coarse rows spread by their own key, not one NULL partition
+    # the COARSE rows themselves must spread across partitions by their
+    # own key — pre-fix they all got NULL keys and landed in one
     from pyspark.sql import functions as FF
-    sizes = (
-        out.withColumn("p", FF.spark_partition_id())
-        .groupBy("p").count().collect()
-    )
-    assert len(sizes) > 1
+    coarse_set = {int(c) for c in coarse}
+    coarse_parts = {
+        r["p"]
+        for r in out.withColumn("p", FF.spark_partition_id())
+        .filter(FF.col("cell").isin(list(coarse_set)))
+        .select("p").distinct().collect()
+    }
+    assert len(coarse_parts) > 1, coarse_parts
