@@ -476,7 +476,9 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = synth_media(docs, kind="image")
-    resized = resize_media(media, RESIZE_W, RESIZE_H)
+    # codec=None pins the stub kernel: the synth payloads aren't real
+    # images, so the oracle must not pick up a host-installed PIL/cv2
+    resized = resize_media(media, RESIZE_W, RESIZE_H, codec=None)
     return resized.select(
         "media_id", "kind", "width", "height",
         F.length("payload").cast("int").alias("n_bytes"),
@@ -490,7 +492,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_text_dedup.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = synth_media(docs, kind="image")
-    return extract_features(media, dim=16).select("media_id", "kind", "n_bytes")
+    # codec=None: synth payloads aren't decodable images (see q_media_resize)
+    return extract_features(media, dim=16, codec=None).select(
+        "media_id", "kind", "n_bytes"
+    )
 
 
 def _dd_event_windows() -> str:

@@ -9,9 +9,13 @@ session lifetime in long-running drivers that call the operator
 repeatedly.
 
 A :class:`CachePool` bounds that: each operator keeps one pool, and a
-new call retires the previous call's generation (async unpersist).  At
-any moment at most one invocation's worth of blocks is cached per
-operator.  Callers that interleave two live results of the SAME
+new call retires generations beyond ``keep_generations`` (async
+unpersist).  With the default ``keep_generations=1`` the pool
+deliberately retains the CURRENT plus the PREVIOUS generation — so a
+result returned by call N-1 stays materialized while call N runs —
+meaning peak cached state per operator is TWO invocations' worth of
+blocks; budget memory accordingly.  Callers that interleave two live
+results of the SAME
 operator should materialize the first before computing the second (the
 usual pattern), or persist the result themselves.
 """

@@ -99,12 +99,15 @@ class Checkpointer:
         """Missing manifest → None (stage incomplete).  Only not-found
         maps to None: a transient S3/HDFS IO or auth failure must
         propagate, not silently trigger recompute+overwrite of a
-        finished stage."""
-        try:
-            with self._fs.open_input_stream(path) as f:
-                return json.loads(f.read().decode("utf-8"))
-        except FileNotFoundError:
+        finished stage.  Absence is probed via ``get_file_info`` rather
+        than catching FileNotFoundError from the open — pyarrow's S3 /
+        HDFS backends surface a missing key as plain OSError/ArrowIOError
+        on some paths, which a first run on those schemes would otherwise
+        crash on."""
+        if self._fs.get_file_info(path).type == pafs.FileType.NotFound:
             return None
+        with self._fs.open_input_stream(path) as f:
+            return json.loads(f.read().decode("utf-8"))
 
     def is_complete(self, name: str) -> bool:
         _, mpath = self._paths(name)

@@ -434,6 +434,7 @@ def dup_clusters(
     ida: str = "ida",
     idb: str = "idb",
     max_iter: int = 25,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster) with
     ``cluster`` = the smallest doc id in the component (the canonical
@@ -445,15 +446,42 @@ def dup_clusters(
     hop doubles propagation distance, so convergence is
     O(log diameter) rounds, not O(diameter); each round is two
     equi-joins + one groupBy over the edge/label relations (component
-    state only, never the corpus).  Each round's labels
-    ``localCheckpoint`` eagerly — the round plan references the
-    previous labels three times, so without lineage truncation the
-    logical plan TRIPLES per round and OOMs the driver around round 10
-    (the standard iterative-algorithm pattern; a lost executor replays
-    at most one round from the checkpoint blocks).
+    state only, never the corpus).  Each round's labels checkpoint
+    eagerly — the round plan references the previous labels three
+    times, so without lineage truncation the logical plan TRIPLES per
+    round and OOMs the driver around round 10 (the standard
+    iterative-algorithm pattern).
+
+    ``checkpoint`` picks the truncation mechanism:
+
+    * ``'local'`` — ``localCheckpoint()``: no checkpoint dir needed,
+      but the blocks live only in executor storage and are NOT
+      replayable — on a real cluster a lost executor fails the job
+      (plan truncation at the cost of executor-failure recovery).
+      The right default for local['*'] where executor == driver.
+    * ``'reliable'`` — ``checkpoint()`` to the SparkContext checkpoint
+      dir (must be set): blocks persist to the shared FS, so a lost
+      executor re-reads the round's labels instead of killing the job.
+      Use this on multi-executor clusters.
+    * ``'auto'`` (default) — ``'reliable'`` when
+      ``sparkContext.getCheckpointDir()`` is set, else ``'local'``.
 
     ``all_ids``: optional (id) DataFrame of the full corpus — isolated
     docs come back as their own singleton cluster."""
+    sc = pairs.sparkSession.sparkContext
+    if checkpoint == "auto":
+        checkpoint = "reliable" if sc.getCheckpointDir() else "local"
+    if checkpoint == "reliable":
+        if not sc.getCheckpointDir():
+            raise ValueError(
+                "dup_clusters(checkpoint='reliable') needs"
+                " spark.sparkContext.setCheckpointDir(...) set first"
+            )
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    elif checkpoint == "local":
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    else:
+        raise ValueError(f"unknown checkpoint mode {checkpoint!r}")
     _CLUSTER_POOL.new_generation()
     # symmetrize in ONE pass over the pair relation: a union of two
     # selects would evaluate the caller's (corpus-scale) pair-mining
@@ -469,10 +497,9 @@ def dup_clusters(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -487,7 +514,7 @@ def dup_clusters(
         l2 = one_hop.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
-        halved = (
+        halved = _ckpt(
             one_hop.join(l2, one_hop["label"] == l2["__lid"], "left")
             .select(
                 "id",
@@ -495,7 +522,6 @@ def dup_clusters(
                     F.col("label"), F.coalesce(F.col("__llabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             halved.alias("n")

@@ -265,14 +265,32 @@ def _cell_from_path(base: int, digs: list[int]) -> int:
 
 
 def _walk(buf, pos: int, base: int, digs: list[int], value_de):
-    """DFS over one subtree of a (bytes-like) disktree buffer."""
+    """DFS over one subtree of a (bytes-like) disktree buffer.
+
+    Hardened against corrupt/adversarial foreign files (this is an
+    interchange format): a well-formed file can only nest ``MAX_RES``
+    digits deep, and the writer emits every child strictly AFTER its
+    parent record (writer.rs:66-70 backpatching), so a digit path
+    deeper than 15 or a backward/self dptr means a pointer loop —
+    raise instead of recursing unboundedly."""
     first = buf[pos]
     if first & 0x80:  # parent
+        if len(digs) >= K.MAX_RES:
+            raise ValueError(
+                f"corrupt disktree: Parent node at digit depth {len(digs)}"
+                f" (max {K.MAX_RES}) — pointer loop or truncated file"
+            )
         present = [d for d in range(7) if (first >> d) & 1]
         p = pos + 1
         for d in present:
             dp = _dptr_read(buf, p)
             p += DPTR_SZ
+            if dp <= pos:
+                raise ValueError(
+                    f"corrupt disktree: child dptr {dp} not past its parent"
+                    f" at {pos} — children are always written after their"
+                    " parent; backward pointer implies a cycle"
+                )
             yield from _walk(buf, dp, base, digs + [d], value_de)
     else:
         vlen, n = varint_read(buf, pos)
@@ -459,6 +477,15 @@ def read_disktree_distributed(
     :func:`iter_disktree` driver-side for exotic value types."""
     import pandas as pd
 
+    if value_type != "long":
+        # decoding is hardcoded to de_i64 — any other declared type
+        # would mismatch the decoded int64s (Arrow conversion error or
+        # silently mistyped column)
+        raise ValueError(
+            f"read_disktree_distributed decodes i64 values only"
+            f" (value_type='long', got {value_type!r}); use iter_disktree"
+            " with a custom value_de for other codecs"
+        )
     with open(path, "rb") as f:
         fbuf = _FileBuf(f)
         _check_header(fbuf)

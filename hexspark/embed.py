@@ -15,6 +15,8 @@ true near-ties, which the round+tiebreak resolves identically.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -100,6 +102,38 @@ def dd_ann_topk_brute(k: int, n_queries: int) -> str:
     """
 
 
+def _footer_row_count(df: DataFrame) -> Optional[int]:
+    """Row count from Parquet footer metadata when ``df`` scans Parquet
+    files — zero Spark jobs, driver-side metadata reads only (the same
+    pattern the Checkpointer uses for per-partition metrics).  Returns
+    None when the plan isn't a file scan (including when the session
+    has the same read CACHED — inputFiles() is empty over an
+    InMemoryRelation substitution, and falling back to count() is then
+    a cheap cached-scan job anyway).  NOTE: footers count the
+    FILES' rows, so with filters above the scan this is an UPPER bound
+    on ``df.count()`` — callers using it to size a sample fraction get
+    a fraction that is at most too small, never too large (the bounded-
+    cost property that matters)."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    total = 0
+    for uri in files:
+        try:
+            fs, path = pafs.FileSystem.from_uri(uri)
+            with fs.open_input_file(path) as fh:
+                total += pq.ParquetFile(fh).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
 def ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -111,9 +145,12 @@ def ivf_index(
     corpus tagged with its nearest-centroid id plus the centroid matrix.
 
     The fit is bounded: KMeans runs over a seeded Bernoulli sample of
-    ~``fit_sample_rows`` vectors (one metadata-cheap ``count`` sizes
-    the fraction), so at 10^12 rows the fit cost is capped while
-    assignment stays a shuffle-free full-corpus map.  A *uniform*
+    ~``fit_sample_rows`` vectors.  The fraction is sized from Parquet
+    footer row counts when the corpus is a file scan (driver-side
+    metadata, ZERO extra Spark jobs — at 10^12 rows a sizing
+    ``count()`` would itself be a full corpus pass), falling back to
+    ``count()`` for non-file plans; so at scale the fit cost is capped
+    while assignment stays a shuffle-free full-corpus map.  A *uniform*
     sample matters: a ``limit`` would take whichever partitions answer
     first, and on a corpus ingested per-source (pre-clustered in
     embedding space) that yields degenerate centroids.  Centroid
@@ -126,7 +163,9 @@ def ivf_index(
     src = corpus.withColumn("__feat", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_src = src.select("__feat")
     if fit_sample_rows is not None:
-        n = corpus.count()
+        n = _footer_row_count(corpus)
+        if n is None:
+            n = corpus.count()
         if n > fit_sample_rows:
             fit_src = fit_src.sample(
                 fraction=fit_sample_rows / n, seed=seed

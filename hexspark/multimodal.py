@@ -2,10 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages.  The actual codecs are NOT available in this
-container, so the decode kernel is STUBBED behind ``HAS_CODECS`` with a
-deterministic fake — the Spark-side plumbing (schema, batch shape,
-partitioning, UDF signature) is real and tested.
+``mapInPandas`` stages.  The codec seam is an import PROBE
+(:func:`_probe_codecs`): when Pillow/opencv is installed the real
+decode/resize kernels run; in this container neither is available, so
+the deterministic stub kernels run instead — the Spark-side plumbing
+(schema, batch shape, partitioning, UDF signature) is identical and
+tested either way.
 """
 
 from __future__ import annotations
@@ -21,7 +23,26 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-HAS_CODECS = False  # real image/audio libs not bundled; see _decode_stub
+def _probe_codecs() -> "str | None":
+    """Import-probe for a real image codec: PIL preferred, cv2 next.
+    Neither ships in this sandbox, so the probe resolves to None here
+    and every operator runs the deterministic stub kernels — but on a
+    cluster image with Pillow/opencv installed the same module wires
+    the real decode/resize paths with zero edits."""
+    try:
+        import PIL.Image  # noqa: F401
+        return "pil"
+    except Exception:
+        pass
+    try:
+        import cv2  # noqa: F401
+        return "cv2"
+    except Exception:
+        return None
+
+
+CODEC = _probe_codecs()
+HAS_CODECS = CODEC is not None
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", StringType(), False),
@@ -92,15 +113,52 @@ def _seed_batch(payloads: list) -> np.ndarray:
     return _splitmix64(h ^ _splitmix64(lens.astype(np.uint64)))
 
 
+def _decode_real_batch(payloads: list, dim: int, codec: str) -> np.ndarray:
+    """Real decode→featurize kernel (runs when PIL/cv2 is installed):
+    decode each payload to a grayscale plane, feature = the
+    ``dim``-bin normalized intensity histogram.  Per-image decode is
+    inherently per-item (codecs are), but stays inside one Arrow batch
+    with numpy post-processing — the same batch shape as the stub."""
+    import io
+
+    feats = np.zeros((len(payloads), dim), dtype=np.float32)
+    for i, p in enumerate(payloads):
+        if codec == "pil":
+            from PIL import Image
+
+            img = np.asarray(
+                Image.open(io.BytesIO(bytes(p))).convert("L"), dtype=np.float32
+            )
+        elif codec == "cv2":
+            import cv2
+
+            img = cv2.imdecode(
+                np.frombuffer(bytes(p), np.uint8), cv2.IMREAD_GRAYSCALE
+            )
+            if img is None:
+                raise ValueError(f"cv2 could not decode payload {i}")
+            img = img.astype(np.float32)
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+        hist, _ = np.histogram(img, bins=dim, range=(0.0, 256.0))
+        feats[i] = hist.astype(np.float32) / max(img.size, 1)
+    return feats
+
+
+def _decode_batch(payloads: list, dim: int, codec: "str | None") -> np.ndarray:
+    """Dispatch: real codec kernel when one is installed (``codec`` =
+    'pil'/'cv2'), deterministic stub otherwise (``codec`` = None)."""
+    if codec is not None:
+        return _decode_real_batch(payloads, dim, codec)
+    return _decode_stub_batch(payloads, dim)
+
+
 def _decode_stub_batch(payloads: list, dim: int) -> np.ndarray:
     """Deterministic fake decoder over a WHOLE Arrow batch: vectorized
     segmented payload hash (:func:`_seed_batch`) seeds a vectorized
     counter-mode expansion — one numpy pass produces the (n_rows × dim)
-    feature matrix, no per-row Python anywhere.  Replace with a real
-    codec (PIL/torchaudio/pyav) where available — keep this per-batch
-    shape."""
-    if HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire a real codec here")
+    feature matrix, no per-row Python anywhere.  The real-codec path is
+    :func:`_decode_real_batch` — same per-batch shape."""
     if not payloads:
         return np.empty((0, dim), dtype=np.float32)
     seeds = _seed_batch(payloads)
@@ -115,15 +173,22 @@ def _decode_stub(payload: bytes, dim: int) -> np.ndarray:
     return _decode_stub_batch([payload], dim)[0]
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 16, codec: "str | None" = "auto"
+) -> DataFrame:
     """Arrow-batched decode→featurize: ``mapInPandas`` so each Python
     worker sees whole record batches; payload bytes never pass through
     per-row Python call overhead, and the feature kernel itself is one
-    vectorized numpy pass per batch."""
+    vectorized numpy pass per batch.
+
+    ``codec='auto'`` resolves to the probed real codec (PIL/cv2) when
+    installed, else the deterministic stub; pass ``None`` to force the
+    stub (e.g. for synthetic media whose payloads aren't real images)."""
+    resolved = CODEC if codec == "auto" else codec
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _decode_stub_batch(list(pdf["payload"]), dim)
+            feats = _decode_batch(list(pdf["payload"]), dim, resolved)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -152,14 +217,50 @@ def dd_media_features(kind: str = "image") -> str:
     """
 
 
+def _resize_real_batch(
+    payloads: list, width: int, height: int, codec: str
+) -> list:
+    """Real resample kernel (runs when PIL/cv2 is installed): decode →
+    resize → emit the grayscale ``width × height`` byte plane — the
+    same output contract as the stub (one channel, w·h bytes)."""
+    import io
+
+    out = []
+    for i, p in enumerate(payloads):
+        if codec == "pil":
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(bytes(p))).convert("L").resize((width, height))
+            out.append(np.asarray(img, dtype=np.uint8).tobytes())
+        elif codec == "cv2":
+            import cv2
+
+            img = cv2.imdecode(np.frombuffer(bytes(p), np.uint8), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise ValueError(f"cv2 could not decode payload {i}")
+            out.append(
+                cv2.resize(img, (width, height)).astype(np.uint8).tobytes()
+            )
+        else:
+            raise ValueError(f"unknown codec {codec!r}")
+    return out
+
+
+def _resize_batch(
+    payloads: list, width: int, height: int, codec: "str | None"
+) -> list:
+    """Dispatch: real resampler when a codec is installed, stub else."""
+    if codec is not None:
+        return _resize_real_batch(payloads, width, height, codec)
+    return _resize_stub_batch(payloads, width, height)
+
+
 def _resize_stub_batch(payloads: list, width: int, height: int) -> list:
     """Deterministic fake resize kernel over a WHOLE batch: emits a
     ``width × height`` single-channel byte plane expanded from the
     payload's seed (same vectorized counter-mode hash as the decode
-    stub).  Replace with a real resampler (PIL/cv2) where available —
-    keep the per-batch signature."""
-    if HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire a real resampler here")
+    stub).  The real-resampler path is :func:`_resize_real_batch` —
+    same per-batch signature."""
     if not payloads:
         return []
     n = width * height
@@ -169,20 +270,24 @@ def _resize_stub_batch(payloads: list, width: int, height: int) -> list:
     return [planes[i].tobytes() for i in range(len(payloads))]
 
 
-def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(
+    media: DataFrame, width: int, height: int, codec: "str | None" = "auto"
+) -> DataFrame:
     """Image-resize plumbing: Arrow-batched ``mapInPandas`` through the
-    (stubbed) resample kernel; output keeps the MEDIA_SCHEMA shape with
-    the new dimensions and the resized payload (``width·height`` bytes
-    from the stub — one channel), so downstream stages see a normal
-    media table.  Metadata update is exact; only the pixel kernel is a
-    deterministic fake behind ``HAS_CODECS``."""
+    resample kernel; output keeps the MEDIA_SCHEMA shape with the new
+    dimensions and the resized payload (``width·height`` bytes — one
+    channel), so downstream stages see a normal media table.  Metadata
+    update is exact; the pixel kernel is the real resampler when
+    PIL/cv2 is installed (``codec='auto'``) and the deterministic fake
+    otherwise (or when ``codec=None`` forces the stub)."""
+    resolved = CODEC if codec == "auto" else codec
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "payload": _resize_stub_batch(list(pdf["payload"]), width, height),
+                "payload": _resize_batch(list(pdf["payload"]), width, height, resolved),
                 "width": np.full(len(pdf), width, dtype=np.int32),
                 "height": np.full(len(pdf), height, dtype=np.int32),
                 "duration_ms": pdf["duration_ms"],

@@ -88,6 +88,29 @@ def run_pipeline(
     }
 
 
+def select_keepers(
+    feats: DataFrame, clusters: DataFrame, min_quality: float
+) -> DataFrame:
+    """One keeper per dup cluster: the min-``doc_id`` member AMONG those
+    at/above the quality floor.  A cluster survives as long as ANY
+    member passes — filtering after canonical min-id assignment would
+    drop a whole cluster whenever its lowest-id copy happened to be the
+    low-quality one.  ``feats`` needs (doc_id, quality, ...); ``clusters``
+    is the (id, cluster) output of :func:`hexspark.dedup.dup_clusters`."""
+    from pyspark.sql import Window
+
+    qualified = feats.join(
+        clusters.withColumnRenamed("id", "doc_id"), on="doc_id"
+    ).filter(F.col("quality") >= min_quality)
+    # one shuffle on cluster id (window min), not a groupBy+join-back
+    keeper_id = F.min("doc_id").over(Window.partitionBy("cluster"))
+    return (
+        qualified.withColumn("__keeper", keeper_id)
+        .filter(F.col("doc_id") == F.col("__keeper"))
+        .drop("__keeper")
+    )
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -104,8 +127,11 @@ def run_corpus_pipeline(
        reads it, and it is the heaviest column of the source table)
     2. ``dup_pairs``     — simhash Hamming-budget near-dup pairs
     3. ``dup_clusters``  — connected components → cluster/keeper ids
-    4. ``keepers``       — one doc per cluster (min id) above the
-       quality floor — the curated corpus
+    4. ``keepers``       — one doc per cluster: the min-id member
+       AMONG those above the quality floor (a cluster survives as long
+       as ANY member passes the floor — filtering after canonical
+       min-id assignment would drop a whole cluster whenever its
+       lowest-id copy happened to be the low-quality one)
     5. ``corpus_stats``  — per-language keeper counts + token totals
        (with the pre-dedup counts for the reduction ratio)
     """
@@ -139,10 +165,7 @@ def run_corpus_pipeline(
 
     keepers = ck.stage(
         "keepers",
-        lambda: feats.join(
-            clusters.withColumnRenamed("id", "doc_id"), on="doc_id"
-        )
-        .filter((F.col("doc_id") == F.col("cluster")) & (F.col("quality") >= min_quality)),
+        lambda: select_keepers(feats, clusters, min_quality),
         inputs=["doc_features", "dup_clusters"],
     )
 

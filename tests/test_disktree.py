@@ -293,3 +293,62 @@ def test_disktreefile_contains_descendants_parity(spark, monaco, tmp_path):
         if not any((c >> K.BASE_OFFSET) & 0x7F == ((vacant >> K.BASE_OFFSET) & 0x7F) for c in cells.tolist()):
             assert not t.contains(vacant)
             assert list(t.descendants(vacant)) == []
+
+
+def _raw_tree(nodes: bytes) -> bytes:
+    """Hand-built file: header + base-0 pointer at the node area."""
+    hdr = HDR_MAGIC + bytes([0xFE])  # version 0
+    node_pos = len(hdr) + DPTR_SZ * NUM_BASE
+    ptrs = node_pos.to_bytes(DPTR_SZ, "little") + b"\x00" * (DPTR_SZ * (NUM_BASE - 1))
+    return hdr + ptrs + nodes
+
+
+def test_corrupt_backward_dptr_raises(tmp_path):
+    """Interchange hardening: a foreign file whose child dptr points AT
+    or BEFORE its parent is a pointer cycle — the reader must raise,
+    not recurse until the stack dies (children are always written after
+    their parent, writer.rs:66-70, so backward is never well-formed)."""
+    hdr = len(HDR_MAGIC) + 1
+    p0 = hdr + DPTR_SZ * NUM_BASE      # parent 0
+    p1 = p0 + 1 + DPTR_SZ              # parent 1
+    nodes = (
+        bytes([0x80 | 1]) + p1.to_bytes(DPTR_SZ, "little")   # parent0 → parent1
+        + bytes([0x80 | 1]) + p0.to_bytes(DPTR_SZ, "little")  # parent1 → parent0 (loop!)
+    )
+    path = str(tmp_path / "loop.disktree")
+    open(path, "wb").write(_raw_tree(nodes))
+    with pytest.raises(ValueError, match="backward pointer|not past its parent"):
+        list(iter_disktree(path))
+
+
+def test_corrupt_overdeep_tree_raises(tmp_path):
+    """A digit path can only be MAX_RES (15) deep; a forward-pointing
+    chain of 16+ Parent nodes is corrupt and must raise (bounded
+    descent, no unbounded recursion on adversarial files)."""
+    hdr = len(HDR_MAGIC) + 1
+    base_pos = hdr + DPTR_SZ * NUM_BASE
+    n_parents = 17
+    nodes = b""
+    for i in range(n_parents):
+        nxt = base_pos + (i + 1) * (1 + DPTR_SZ)
+        nodes += bytes([0x80 | 1]) + nxt.to_bytes(DPTR_SZ, "little")
+    nodes += bytes([8 | 0x40]) + (1).to_bytes(8, "little")  # terminal leaf
+    path = str(tmp_path / "deep.disktree")
+    open(path, "wb").write(_raw_tree(nodes))
+    with pytest.raises(ValueError, match="digit depth"):
+        list(iter_disktree(path))
+
+
+def test_distributed_reader_value_type_guard(spark, tmp_path):
+    """read_disktree_distributed decodes i64 only; declaring any other
+    value_type would silently mistype the column — it must raise."""
+    from hexspark.disktree import read_disktree_distributed
+
+    res0 = int(cnp.make_cell(np.array([0]), np.array([0]),
+                             np.array([K.trailing_mask(0)]))[0])
+    path = str(tmp_path / "v.disktree")
+    write_disktree([(res0, 7)], path, value_ser=ser_i64)
+    with pytest.raises(ValueError, match="i64 values only"):
+        read_disktree_distributed(spark, path, value_type="string")
+    # the supported codec still round-trips
+    assert read_disktree_distributed(spark, path).collect()[0]["value"] == 7

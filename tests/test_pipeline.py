@@ -63,3 +63,29 @@ def test_corpus_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     assert {s: lin2[s]["finished_at"] for s in lin2} == {
         s: lin[s]["finished_at"] for s in lin
     }
+
+
+def test_select_keepers_quality_floor(spark):
+    """A cluster survives the quality floor as long as ANY member
+    passes: the keeper is the min id AMONG qualified members, not the
+    canonical min id filtered afterwards (which would drop a whole
+    cluster when its lowest-id copy is the low-quality one)."""
+    from hexspark.pipeline import select_keepers
+
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 90), (3, 95), (7, 5), (9, 80)],
+        "doc_id: long, quality: long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)], "id: long, cluster: long"
+    )
+    out = {(r["doc_id"], r["cluster"])
+           for r in select_keepers(feats, clusters, 50).collect()}
+    # cluster 1: min-id member (1, q=10) fails the floor → keeper is 2;
+    # cluster 7: sole member fails → cluster dropped;
+    # cluster 9: singleton passes → kept
+    assert out == {(2, 1), (9, 9)}
+    # floor 0 keeps the canonical min ids exactly
+    out0 = {(r["doc_id"], r["cluster"])
+            for r in select_keepers(feats, clusters, 0).collect()}
+    assert out0 == {(1, 1), (7, 7), (9, 9)}
