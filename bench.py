@@ -240,12 +240,53 @@ def run(spark) -> tuple[dict, dict]:
     # coarser levels rolled up from children's tile counts
     timed("q14_tile_pyramid", lambda: ops.tile_pyramid(pages, 6).count())
 
+    # q15: the corpus-curation pipeline END TO END (features → simhash
+    # pairs → clusters → keepers → stats) INCLUDING its checkpoint
+    # Parquet writes — the dedup family's pinned wall number is the
+    # pipeline a user actually runs, not just per-operator timings.
+    # Fresh work dir each invocation so resume never hides compute.
+    import shutil
+    import tempfile
+
+    from hexspark.pipeline import run_corpus_pipeline
+
+    def _corpus_pipeline():
+        wd = tempfile.mkdtemp(prefix="hexbench_corpus_")
+        try:
+            out = run_corpus_pipeline(spark, SF_DIR, wd)
+            return out["corpus_stats"].count()
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+
+    timed("q15_corpus_pipeline", _corpus_pipeline, rounds=1)
+
     raw.unpersist()
     regions.unpersist()
     return timings, extras
 
 
+def _loadavg() -> "float | None":
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return None
+
+
+# CLAUDE.md idle-box rule: a concurrent session skews queries 2-5x
+# (BENCH_r03 recorded q3 at 9.07s vs 1.76s idle).  Label the run so
+# polluted numbers are never compared like-for-like.
+LOAD_IDLE_MAX = float(os.environ.get("BENCH_LOAD_IDLE_MAX", "2.0"))
+
+
 def main() -> None:
+    load_start = _loadavg()
+    if load_start is not None and load_start > LOAD_IDLE_MAX:
+        print(
+            f"WARNING: 1-min loadavg {load_start} > {LOAD_IDLE_MAX} at bench"
+            " start — box is not idle; timings will be inflated and the"
+            " output is labeled load_polluted",
+            file=sys.stderr,
+        )
     # NOTE: the ParallelGC+32g combo that helps bench_scaling's
     # persist-free worker REGRESSES this suite 2-4x (it caches `raw`;
     # measured q2_explode 7.2s -> 64.7s) — keep the default G1/8g here.
@@ -264,6 +305,10 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "rounds_per_query": ROUNDS,
+        "loadavg_start": load_start,
+        "load_polluted": bool(
+            load_start is not None and load_start > LOAD_IDLE_MAX
+        ),
         **extras,
     }))
 

@@ -66,6 +66,28 @@ def _partition_metrics(fs: pafs.FileSystem, path: str) -> list[dict]:
     return out
 
 
+def _file_metrics(uris: list[str]) -> list[dict]:
+    """Per-file lineage for files addressed by URI (bucketed tables
+    live in the warehouse, not the checkpoint root)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for uri in sorted(uris):
+        fs, path = pafs.FileSystem.from_uri(uri) if "://" in uri else (
+            pafs.LocalFileSystem(), uri
+        )
+        info = fs.get_file_info(path)
+        with fs.open_input_file(path) as fh:
+            md = pq.ParquetFile(fh).metadata
+        out.append({
+            "file": posixpath.basename(path),
+            "rows": md.num_rows,
+            "bytes": info.size,
+            "row_groups": md.num_row_groups,
+        })
+    return out
+
+
 class Checkpointer:
     """Re-entrant stage runner.
 
@@ -157,6 +179,54 @@ class Checkpointer:
             f.write(json.dumps(man, indent=1).encode("utf-8"))
         self._fs.move(tmp, mpath)  # atomic on local/HDFS; copy+delete on S3
         return self.spark.read.parquet(self._spark_path(name))
+
+    def stage_bucketed(
+        self,
+        name: str,
+        fn: Callable[[], DataFrame],
+        bucket_col: str,
+        n_buckets: int = 64,
+        inputs: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """Like :meth:`stage`, but materializes through
+        ``storage.write_bucketed`` (hash-bucketed ``saveAsTable``), so
+        every downstream join/aggregation keyed on ``bucket_col`` reads
+        co-located buckets and plans NO Exchange — the stage boundary
+        doubles as the shuffle boundary for the whole downstream fan-out.
+        The table name is the stage name; the manifest (same schema as
+        parquet stages, plus bucket metadata) still lives under the
+        checkpoint root, with per-file metrics read from the table's
+        parquet footers."""
+        _, mpath = self._paths(name)
+        if self.is_complete(name) and self.spark.catalog.tableExists(name):
+            return self.spark.table(name)
+        t0 = time.time()
+        from .storage import write_bucketed
+
+        write_bucketed(fn(), name, bucket_col, n_buckets)
+        out = self.spark.table(name)
+        parts = _file_metrics(out.inputFiles())
+        man = {
+            "stage": name,
+            "inputs": inputs or [],
+            "complete": True,
+            "wall_sec": round(time.time() - t0, 3),
+            "rows": sum(m["rows"] for m in parts),
+            "bytes": sum(m["bytes"] for m in parts),
+            "n_partitions": len(parts),
+            "partitions": parts,
+            "quarantined_rows": None,
+            "bucket_col": bucket_col,
+            "n_buckets": n_buckets,
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        d, _ = self._paths(name)
+        self._fs.create_dir(d, recursive=True)
+        tmp = mpath + ".tmp"
+        with self._fs.open_output_stream(tmp) as f:
+            f.write(json.dumps(man, indent=1).encode("utf-8"))
+        self._fs.move(tmp, mpath)
+        return out
 
     def lineage(self) -> dict[str, dict]:
         """All stage manifests keyed by stage name."""

@@ -134,6 +134,28 @@ def tile_region_rollup(
     )
 
 
+def tile_region_rollup_pretiled(
+    tiled: DataFrame, regions: DataFrame
+) -> DataFrame:
+    """:func:`tile_region_rollup` over a source that already CARRIES the
+    tile column — the bucketed-pipeline form: when ``tiled`` is a table
+    bucketed on ``tile`` (storage.write_bucketed / Checkpointer.
+    stage_bucketed), the tile aggregation groups on the stored bucket
+    key and the containment join broadcasts, so the executed plan has
+    NO Exchange until the final region-cardinality groupBy (asserted in
+    tests/test_pipeline.py).  Output identical to tile_region_rollup
+    over the un-tiled pages."""
+    tiles = tiled.groupBy("tile").agg(F.count("*").alias("n_pages"))
+    return (
+        jx.get_auto(tiles, regions, probe_col="tile")
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_pages").alias("n_pages"),
+        )
+    )
+
+
 def tile_pyramid(
     pages: DataFrame, max_res: int, cell_col: str = "cell"
 ) -> DataFrame:

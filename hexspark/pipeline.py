@@ -33,8 +33,17 @@ def run_pipeline(
     copies: int = 2,
     page_res: int = 12,
     tile_res: int = 6,
+    bucket_tiles: int = 0,
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full spatial pipeline; returns stage outputs."""
+    """Run (or resume) the full spatial pipeline; returns stage outputs.
+
+    ``bucket_tiles > 0`` inserts a ``pages_tiled`` stage materialized as
+    a table hash-bucketed on the tile prefix (that many buckets): the
+    downstream tile rollup then groups on the stored bucket key and
+    joins regions by broadcast, so its executed plan carries NO
+    Exchange until the final region-cardinality aggregate — the posture
+    for a pages-scale table fanned out to many tile-keyed queries.
+    Output is identical to the unbucketed path (asserted in tests)."""
     ck = Checkpointer(spark, work_dir)
 
     pages = ck.stage(
@@ -71,13 +80,31 @@ def run_pipeline(
         inputs=["assigned"],
     )
 
-    tiles = ck.stage(
-        "tile_rollup",
-        lambda: ops.tile_region_rollup(valid, regions, tile_res),
-        inputs=["pages_valid", "region_map"],
-    )
+    out: dict[str, DataFrame] = {}
+    if bucket_tiles:
+        tiled = ck.stage_bucketed(
+            "pages_tiled",
+            lambda: valid.select(
+                "page_key", "lang", cx.to_parent("cell", tile_res).alias("tile")
+            ),
+            bucket_col="tile",
+            n_buckets=bucket_tiles,
+            inputs=["pages_valid"],
+        )
+        out["pages_tiled"] = tiled
+        tiles = ck.stage(
+            "tile_rollup",
+            lambda: ops.tile_region_rollup_pretiled(tiled, regions),
+            inputs=["pages_tiled", "region_map"],
+        )
+    else:
+        tiles = ck.stage(
+            "tile_rollup",
+            lambda: ops.tile_region_rollup(valid, regions, tile_res),
+            inputs=["pages_valid", "region_map"],
+        )
 
-    return {
+    out.update({
         "pages": pages,
         "valid": valid,
         "regions": regions,
@@ -85,7 +112,8 @@ def run_pipeline(
         "region_counts": counts,
         "tile_rollup": tiles,
         "lineage": ck.lineage(),  # type: ignore[dict-item]
-    }
+    })
+    return out
 
 
 def select_keepers(

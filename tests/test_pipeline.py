@@ -89,3 +89,52 @@ def test_select_keepers_quality_floor(spark):
     out0 = {(r["doc_id"], r["cluster"])
             for r in select_keepers(feats, clusters, 0).collect()}
     assert out0 == {(1, 1), (7, 7), (9, 9)}
+
+
+def test_pipeline_bucketed_tiles_no_exchange(spark, sf_dir, tmp_path):
+    """bucket_tiles: the pages_tiled stage materializes hash-bucketed on
+    the tile prefix, the downstream rollup's ONLY shuffle is the final
+    region-cardinality aggregate (tile groupBy rides the bucket layout,
+    containment join broadcasts), and output matches the unbucketed
+    pipeline exactly."""
+    import re
+
+    from hexspark import ops
+
+    try:
+        out = run_pipeline(spark, sf_dir, str(tmp_path / "wb"),
+                           copies=2, bucket_tiles=8)
+        roll1 = {(r["region"], r["n_tiles"], r["n_pages"])
+                 for r in out["tile_rollup"].collect()}
+        out2 = run_pipeline(spark, sf_dir, str(tmp_path / "plain"), copies=2)
+        roll2 = {(r["region"], r["n_tiles"], r["n_pages"])
+                 for r in out2["tile_rollup"].collect()}
+        assert roll1 == roll2 and roll1
+        lin = out["lineage"]
+        assert lin["pages_tiled"]["bucket_col"] == "tile"
+        assert lin["pages_tiled"]["n_buckets"] == 8
+        assert lin["pages_tiled"]["rows"] == lin["pages_valid"]["rows"]
+
+        # executed-plan assert on the pipeline's second join: re-drive
+        # the rollup over the bucketed table and count real shuffles
+        roll = ops.tile_region_rollup_pretiled(
+            spark.table("pages_tiled"), out["regions"]
+        )
+        roll.collect()
+        # AQE's toString repeats the tree as "== Initial Plan ==" —
+        # assert on the executed final section only
+        plan = (
+            roll._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan, plan[:3000]
+        shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        assert len(shuffles) == 1 and shuffles[0].startswith("region"), plan[:3000]
+
+        # resume: bucketed stage is read back, not rebuilt
+        out3 = run_pipeline(spark, sf_dir, str(tmp_path / "wb"),
+                            copies=2, bucket_tiles=8)
+        assert out3["lineage"]["pages_tiled"]["finished_at"] == \
+            lin["pages_tiled"]["finished_at"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_tiled")
