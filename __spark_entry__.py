@@ -510,6 +510,65 @@ def _dd_event_sessions() -> str:
     return dd_event_sessions(SESSION_GAP_S)
 
 
+def _setops_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of oracles.dd_setops_ab_srcs: two overlapping
+    compacted sets built from supplier keys with the SAME formulas —
+    B holds coarser parents, finer children, and fresh disjoint cells
+    relative to A, exercising every branch of the set algebra."""
+    import hexspark.constants as K
+    from hexspark.oracles import SETOPS_FRESH_OFFSET, SETOPS_RES_A
+
+    ra = SETOPS_RES_A
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+    cell = synth.cell_from_key(F.col("s_suppkey"), ra)
+    a = bx.build_region(sup.select(cell.alias("cell")), compactor="set")
+    child_shift = (K.MAX_RES - (ra + 1)) * K.DIGIT_BITS
+    bumped = (
+        cell.bitwiseAND(F.lit(~K.RES_MASK))
+        .bitwiseOR(F.lit((ra + 1) << K.RES_OFFSET))
+    )
+    child3 = bumped - F.lit(4).cast("long") * F.lit(1 << child_shift)
+    bsrc = (
+        sup.filter(F.col("s_suppkey") % 5 == 0)
+        .select(cx.to_parent(cell, ra - 1).alias("cell"))
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 7 == 1).select(child3.alias("cell"))
+        )
+        .unionByName(
+            sup.filter(F.col("s_suppkey") % 11 == 2).select(
+                synth.cell_from_key(
+                    F.col("s_suppkey") + SETOPS_FRESH_OFFSET, ra
+                ).alias("cell")
+            )
+        )
+    )
+    b = bx.build_region(bsrc, compactor="set")
+    return a, b
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted-set intersection (hexspark.setops): closed-form join
+    algebra vs the oracle's uncompact→INTERSECT→recompact definition."""
+    from hexspark.setops import set_intersect
+
+    a, b = _setops_ab(spark, sf_dir)
+    return set_intersect(a, b)
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.setops import set_union
+
+    a, b = _setops_ab(spark, sf_dir)
+    return set_union(a, b)
+
+
+def q_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hexspark.setops import set_difference
+
+    a, b = _setops_ab(spark, sf_dir)
+    return set_difference(a, b)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -558,6 +617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_hier": q_polyfill_hier,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
+        "set_intersect": q_set_intersect,
+        "set_union": q_set_union,
+        "set_difference": q_set_difference,
     }
 
 
@@ -624,4 +686,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_windows": _dd_event_windows(),
         "event_sessions": _dd_event_sessions(),
+        "set_intersect": oracles.q_set_op("INTERSECT"),
+        "set_union": oracles.q_set_op("UNION"),
+        "set_difference": oracles.q_set_op("EXCEPT"),
     }

@@ -17,34 +17,36 @@ from .geo import dd_grid_encode, pip_sql_predicate
 from .pages import dd_pages_cte
 
 
-def dd_compact_set_cte(src_cte: str, max_res: int) -> str:
+def dd_compact_set_cte(src_cte: str, max_res: int, prefix: str = "lvl") -> str:
     """Unrolled bottom-up set compaction: one CTE pair per level from
     ``max_res`` down to 1 (the A2 loop as pure SQL).  ``src_cte`` must
     select a single BIGINT column ``cell`` of pairwise non-related,
-    deduplicated cells."""
+    deduplicated cells.  ``prefix`` namespaces the CTE chain (final
+    result = ``{prefix}0``) so one query can compact several sets (the
+    set-algebra oracles compact A, B and the result)."""
     # MATERIALIZED is load-bearing: every lvl references the previous
     # lvl twice (directly + via step) — DuckDB inlines plain CTEs per
     # reference, so without it the chain re-evaluates the source
     # ~3^max_res times (measured: 128s -> <1s on 2k cells)
-    ctes = [f"lvl{max_res} AS MATERIALIZED ({src_cte})"]
+    ctes = [f"{prefix}{max_res} AS MATERIALIZED ({src_cte})"]
     for r in range(max_res, 0, -1):
         parent = synth.dd_to_parent("cell", r - 1)
         res = synth.dd_res("cell")
         ctes.append(
-            f"""step{r} AS MATERIALIZED (
+            f"""{prefix}step{r} AS MATERIALIZED (
                 SELECT parent AS cell FROM (
                     SELECT {parent} AS parent, COUNT(*) AS c
-                    FROM lvl{r} WHERE {res} = {r} GROUP BY 1
+                    FROM {prefix}{r} WHERE {res} = {r} GROUP BY 1
                 ) WHERE c = 7
             )"""
         )
         ctes.append(
-            f"""lvl{r - 1} AS MATERIALIZED (
-                SELECT cell FROM lvl{r}
+            f"""{prefix}{r - 1} AS MATERIALIZED (
+                SELECT cell FROM {prefix}{r}
                 WHERE {res} <> {r}
-                   OR {parent} NOT IN (SELECT cell FROM step{r})
+                   OR {parent} NOT IN (SELECT cell FROM {prefix}step{r})
                 UNION ALL
-                SELECT cell FROM step{r}
+                SELECT cell FROM {prefix}step{r}
             )"""
         )
     return ",\n".join(ctes)
@@ -382,3 +384,102 @@ def q_tile_pyramid(copies: int, page_res: int, max_res: int) -> str:
         f"WITH pages AS ({dd_pages_cte(copies, page_res)})\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+# ---------------------------------------------------------------------------
+# compacted-set algebra (hexspark.setops)
+# ---------------------------------------------------------------------------
+
+def dd_uncompact_mixed(src_cte: str, lo_res: int, to_res: int, prefix: str) -> str:
+    """Mixed-resolution descendant expansion: each level explodes only
+    the cells AT that level, passing finer/other cells through — the
+    SQL twin of build.uncompact_df over a compacted (multi-res) set.
+    Final CTE = ``{prefix}{to_res}``."""
+    res = synth.dd_res("cell")
+    ctes = [f"{prefix}{lo_res} AS MATERIALIZED ({src_cte})"]
+    for r in range(lo_res, to_res):
+        shift = 1 << ((K.MAX_RES - (r + 1)) * K.DIGIT_BITS)
+        bumped = f"((cell & {~K.RES_MASK}) | {(r + 1) << K.RES_OFFSET})"
+        ctes.append(
+            f"""{prefix}{r + 1} AS MATERIALIZED (
+                SELECT ({bumped} - (7 - d) * {shift}) AS cell
+                FROM {prefix}{r}, (SELECT UNNEST(RANGE(7)) AS d)
+                WHERE {res} = {r}
+                UNION ALL
+                SELECT cell FROM {prefix}{r} WHERE {res} <> {r}
+            )"""
+        )
+    return ",\n".join(ctes)
+
+
+def dd_drop_covered_cte(src_cte: str, prefix: str) -> str:
+    """Ancestor-wins prune (build.drop_covered twin): drop any cell
+    strictly covered by a coarser cell in the same set.  Result CTE =
+    ``{prefix}``."""
+    lo_x, hi_x = synth.dd_lo("x.cell"), synth.dd_hi("x.cell")
+    lo_y, hi_y = synth.dd_lo("y.cell"), synth.dd_hi("y.cell")
+    res_x, res_y = synth.dd_res("x.cell"), synth.dd_res("y.cell")
+    return f"""{prefix}src AS MATERIALIZED ({src_cte}),
+        {prefix} AS MATERIALIZED (
+            SELECT cell FROM {prefix}src x WHERE NOT EXISTS (
+                SELECT 1 FROM {prefix}src y
+                WHERE {res_y} < {res_x}
+                  AND {lo_y} <= {lo_x} AND {hi_y} >= {hi_x}
+            )
+        )"""
+
+
+SETOPS_RES_A = 6
+SETOPS_PTS_RES = 7
+SETOPS_FRESH_OFFSET = 999983
+
+
+def dd_setops_ab_srcs() -> tuple[str, str]:
+    """The shared A/B fixture formulas for the set-algebra oracles
+    (mirrored Spark-side in __spark_entry__._setops_ab): A = supplier
+    keys at res 6; B overlaps A three ways — coarser parents (k%5==0),
+    res-7 digit-3 children (k%7==1), fresh mostly-disjoint cells
+    (k%11==2)."""
+    ra = SETOPS_RES_A
+    cell = synth.dd_cell_from_key("s_suppkey", ra)
+    a_src = f"SELECT DISTINCT {cell} AS cell FROM supplier"
+    child_shift = 1 << ((K.MAX_RES - (ra + 1)) * K.DIGIT_BITS)
+    bumped = f"(({cell} & {~K.RES_MASK}) | {(ra + 1) << K.RES_OFFSET})"
+    child3 = f"({bumped} - 4 * {child_shift})"
+    parent = synth.dd_to_parent(cell, ra - 1)
+    fresh = synth.dd_cell_from_key(f"(s_suppkey + {SETOPS_FRESH_OFFSET})", ra)
+    b_src = f"""
+        SELECT DISTINCT cell FROM (
+            SELECT {parent} AS cell FROM supplier WHERE s_suppkey % 5 = 0
+            UNION ALL
+            SELECT {child3} AS cell FROM supplier WHERE s_suppkey % 7 = 1
+            UNION ALL
+            SELECT {fresh} AS cell FROM supplier WHERE s_suppkey % 11 = 2
+        )
+    """
+    return a_src, b_src
+
+
+def q_set_op(op: str) -> str:
+    """Oracle for set_{intersect,union,difference}: uncompact both
+    compacted operands to the common point resolution, apply the plain
+    SQL set operation, re-compact — the from-first-principles point-set
+    definition the closed-form join algebra must reproduce exactly.
+    ``op``: INTERSECT | UNION | EXCEPT."""
+    a_src, b_src = dd_setops_ab_srcs()
+    ra, rp = SETOPS_RES_A, SETOPS_PTS_RES
+    res = synth.dd_res("cell")
+    parts = [
+        dd_compact_set_cte(a_src, ra, prefix="ca"),
+        dd_drop_covered_cte(b_src, "bp"),
+        dd_compact_set_cte("SELECT cell FROM bp", rp, prefix="cb"),
+        dd_uncompact_mixed("SELECT cell FROM ca0", 0, rp, "ua"),
+        dd_uncompact_mixed("SELECT cell FROM cb0", 0, rp, "ub"),
+        f"""pts AS MATERIALIZED (
+            SELECT cell FROM ua{rp} WHERE {res} = {rp}
+            {op}
+            SELECT cell FROM ub{rp} WHERE {res} = {rp}
+        )""",
+        dd_compact_set_cte("SELECT cell FROM pts", rp, prefix="rc"),
+    ]
+    return "WITH " + ",\n".join(parts) + "\nSELECT cell FROM rc0"
