@@ -510,6 +510,12 @@ def _dd_event_sessions() -> str:
     return dd_event_sessions(SESSION_GAP_S)
 
 
+def _dd_event_quantiles() -> str:
+    from hexspark.streaming import dd_event_value_quantiles
+
+    return dd_event_value_quantiles()
+
+
 def _setops_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Spark twin of oracles.dd_setops_ab_srcs: two overlapping
     compacted sets built from supplier keys with the SAME formulas —
@@ -544,6 +550,44 @@ def _setops_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
     b = bx.build_region(bsrc, compactor="set")
     return a, b
+
+
+TOP_DOMAINS_K = 3
+SAMPLE_RATE_BPS = 1000
+SAMPLE_STRATA_BPS = {"en": 500, "de": 2500}
+
+
+def q_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial × web-curation composite: top crawl domains per vector
+    region (broadcast containment join + two-phase top-k)."""
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    regions = ops.region_map(spark)
+    return ops.top_domains_per_region(pages, regions, k=TOP_DOMAINS_K)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-independent per-stratum sampling (hexspark.sample):
+    Lehmer key-hash draw vs per-language basis-point rates — exact
+    integer arithmetic, bit-equal across engines."""
+    from hexspark.sample import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(
+        docs.select("doc_id", "lang"),
+        "doc_id",
+        rate_bps=SAMPLE_RATE_BPS,
+        strata_col="lang",
+        strata_bps=SAMPLE_STRATA_BPS,
+    )
+
+
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (linear-interpolation order
+    statistic — definitionally identical to DuckDB quantile_cont)."""
+    from hexspark.streaming import event_value_quantiles
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_value_quantiles(events)
 
 
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "set_union": q_set_union,
         "set_difference": q_set_difference,
+        "top_domains": q_top_domains,
+        "stratified_sample": q_stratified_sample,
+        "event_quantiles": q_event_quantiles,
     }
 
 
@@ -689,4 +736,11 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect": oracles.q_set_op("INTERSECT"),
         "set_union": oracles.q_set_op("UNION"),
         "set_difference": oracles.q_set_op("EXCEPT"),
+        "top_domains": oracles.q_top_domains(
+            ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES, TOP_DOMAINS_K
+        ),
+        "stratified_sample": oracles.q_stratified_sample(
+            SAMPLE_RATE_BPS, SAMPLE_STRATA_BPS
+        ),
+        "event_quantiles": _dd_event_quantiles(),
     }

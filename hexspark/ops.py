@@ -134,6 +134,34 @@ def tile_region_rollup(
     )
 
 
+def top_domains_per_region(
+    pages: DataFrame, regions: DataFrame, k: int = 3
+) -> DataFrame:
+    """Top-``k`` crawl domains inside each vector region — the spatial
+    × web-curation composite (which sources dominate a geography).
+
+    Shape: manual projection (URL parsed BEFORE the join so only the
+    short domain string rides it), broadcast containment join, one
+    map-side-combinable (region, domain) count, then the two-phase
+    top-k tail (hexspark.topk) — no window shuffling all domains of a
+    region into one reducer."""
+    from .text import domain_of
+    from .topk import topk_per_key
+
+    slim = pages.select("cell", domain_of(F.col("url")).alias("domain"))
+    assigned = jx.get_auto(slim, regions, probe_col="cell")
+    counts = assigned.groupBy("region", "domain").agg(
+        F.count("*").alias("n_pages")
+    )
+    return topk_per_key(
+        counts,
+        keys=["region"],
+        order=[-F.col("n_pages"), F.col("domain")],
+        payload=["domain", "n_pages"],
+        k=k,
+    )
+
+
 def tile_region_rollup_pretiled(
     tiled: DataFrame, regions: DataFrame
 ) -> DataFrame:

@@ -483,3 +483,41 @@ def q_set_op(op: str) -> str:
         dd_compact_set_cte("SELECT cell FROM pts", rp, prefix="rc"),
     ]
     return "WITH " + ",\n".join(parts) + "\nSELECT cell FROM rc0"
+
+
+def q_top_domains(regions: dict, region_res: int, copies: int, page_res: int, k: int) -> str:
+    """Oracle for ops.top_domains_per_region: ROW_NUMBER window over
+    per-(region, domain) page counts (count desc, domain asc tie-break
+    — the same unique ordering the two-phase top-k uses)."""
+    from .text import dd_domain_of
+
+    rc = dd_region_cells_cte(regions, region_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        rcells AS ({rc}),
+        counts AS (
+            SELECT r.region AS region,
+                   {dd_domain_of('p.url')} AS domain,
+                   COUNT(*) AS n_pages
+            FROM pages p
+            JOIN rcells r ON r.cell = {synth.dd_to_parent('p.cell', region_res)}
+            GROUP BY 1, 2
+        )
+        SELECT region, rank, domain, n_pages FROM (
+            SELECT region, domain, n_pages,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY region ORDER BY n_pages DESC, domain ASC
+                   ) AS rank
+            FROM counts
+        ) WHERE rank <= {k}
+    """
+
+
+def q_stratified_sample(rate_bps: int, strata_bps: dict) -> str:
+    """Oracle for sample.deterministic_sample over documents."""
+    from .sample import dd_deterministic_sample
+
+    return dd_deterministic_sample(
+        "doc_id, lang", "documents", "doc_id", rate_bps,
+        strata_col="lang", strata_bps=strata_bps,
+    )

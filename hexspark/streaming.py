@@ -264,3 +264,34 @@ def dd_event_sessions(gap_seconds: int = 1800) -> str:
                MIN(event_id) AS first_event, MAX(event_id) AS last_event
         FROM sess GROUP BY user_id, sid
     """
+
+
+def event_value_quantiles(events: "DataFrame") -> "DataFrame":
+    """Per-event-type exact value quantiles (p50/p90/p99) — the batch
+    rollup behind latency/size dashboards.  ``percentile`` is the
+    EXACT linear-interpolation order statistic (same definition as
+    DuckDB's quantile_cont, which makes it oracle-checkable); it
+    shuffles each group's values once.  At true 100-TB scale swap in
+    ``approx_percentile`` (t-digest sketch, map-side mergeable, one
+    pass) — exact stays the contract/oracle form, mirroring
+    tile_stats vs tile_stats_approx."""
+    pcts = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(name)
+            for name, q in pcts.items()
+        ],
+    )
+
+
+def dd_event_value_quantiles() -> str:
+    """DuckDB twin of :func:`event_value_quantiles`."""
+    cols = ", ".join(
+        f"ROUND(quantile_cont(value, {q}), 6) AS {name}"
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    )
+    return f"""
+        SELECT event_type, COUNT(*) AS n, {cols}
+        FROM events GROUP BY 1
+    """

@@ -116,3 +116,18 @@ def fingerprint(text: Column) -> Column:
 
 def dd_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(lower(trim({text})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+
+
+URL_HOST_RE = r"^https?://([^/]+)/"
+
+
+def domain_of(url: Column) -> Column:
+    """Registrable host from a crawl URL (native regex — runs inside
+    whole-stage codegen over the 10^12-row pages table; URL-keyed
+    grouping is the standard crawl-curation dimension: per-domain
+    caps, quality priors, spam blocklists)."""
+    return F.regexp_extract(url, URL_HOST_RE, 1)
+
+
+def dd_domain_of(url: str) -> str:
+    return f"regexp_extract({url}, '{URL_HOST_RE}', 1)"

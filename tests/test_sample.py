@@ -1,0 +1,57 @@
+"""Deterministic sampling: layout independence, rates, split hygiene."""
+
+from pyspark.sql import functions as F
+
+from hexspark.sample import (
+    BPS_SCALE, deterministic_sample, sample_hash, train_test_split,
+)
+
+
+def test_sample_layout_independent(spark):
+    """Membership is a pure key function: any repartitioning yields
+    the IDENTICAL sample (the property df.sample() lacks)."""
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 1000).collect()}
+    s2 = {
+        r["k"]
+        for r in deterministic_sample(df.repartition(13), "k", 1000).collect()
+    }
+    assert s1 == s2 and s1
+    # realized rate within 10% relative of 10%
+    assert abs(len(s1) / 20000 - 0.10) < 0.01
+
+
+def test_stratified_rates(spark):
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("other").alias("lang"),
+    )
+    out = deterministic_sample(
+        df, "k", rate_bps=2000, strata_col="lang", strata_bps={"en": 500}
+    )
+    rates = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["en"] / 10000 - 0.05) < 0.01
+    assert abs(rates["other"] / 20000 - 0.20) < 0.015
+
+
+def test_train_test_split_partition_and_stability(spark):
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    train, test = train_test_split(df, "k", test_bps=2000)
+    tr = {r["k"] for r in train.collect()}
+    te = {r["k"] for r in test.collect()}
+    assert tr | te == set(range(5000)) and not (tr & te)
+    # appending rows never moves old rows between splits
+    df2 = spark.range(0, 6000).select(F.col("id").alias("k"))
+    _, te2 = train_test_split(df2, "k", test_bps=2000)
+    assert {k for k in te2.toPandas()["k"] if k < 5000} == te
+
+
+def test_sample_hash_range(spark):
+    mx = spark.range(0, 100000).select(
+        F.max(sample_hash(F.col("id"))).alias("mx"),
+        F.min(sample_hash(F.col("id"))).alias("mn"),
+    ).collect()[0]
+    assert 0 <= mx["mn"] and mx["mx"] < BPS_SCALE
