@@ -555,6 +555,34 @@ def _setops_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 TOP_DOMAINS_K = 3
 SAMPLE_RATE_BPS = 1000
 SAMPLE_STRATA_BPS = {"en": 500, "de": 2500}
+NGRAM_N = 2
+NGRAM_K = 25
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization over deterministic messy variants
+    (upper-cased scheme+host, fragment, default port, bare host) —
+    variant formulas keyed by page_key % 4, mirrored in the oracle."""
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    dom = tx.domain_of(F.col("url"))
+    pk = F.col("page_key")
+    raw = (
+        F.when(pk % 4 == 0,
+               F.concat(F.lit("HTTPS://"), F.upper(dom), F.lit("/CasePath")))
+        .when(pk % 4 == 1, F.concat(F.col("url"), F.lit("#frag")))
+        .when(pk % 4 == 2, F.concat(F.lit("https://"), dom, F.lit(":443/p")))
+        .otherwise(F.concat(F.lit("https://"), dom))
+    )
+    return pages.select(
+        pk.alias("page_key"), tx.url_normalize(raw).alias("norm_url")
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top word bigrams (explode → map-side-combine count →
+    TakeOrdered tail)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.top_ngrams(docs, n=NGRAM_N, k=NGRAM_K)
 
 
 def q_top_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_domains": q_top_domains,
         "stratified_sample": q_stratified_sample,
         "event_quantiles": q_event_quantiles,
+        "url_normalize": q_url_normalize,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -743,4 +773,6 @@ def oracle_sql() -> dict[str, str]:
             SAMPLE_RATE_BPS, SAMPLE_STRATA_BPS
         ),
         "event_quantiles": _dd_event_quantiles(),
+        "url_normalize": oracles.q_url_normalize(COPIES, PAGE_RES),
+        "top_ngrams": oracles.q_top_ngrams(NGRAM_N, NGRAM_K),
     }

@@ -521,3 +521,30 @@ def q_stratified_sample(rate_bps: int, strata_bps: dict) -> str:
         "doc_id, lang", "documents", "doc_id", rate_bps,
         strata_col="lang", strata_bps=strata_bps,
     )
+
+
+def q_url_normalize(copies: int, page_res: int) -> str:
+    """Oracle for text.url_normalize over deterministic messy variants
+    of the pages URLs (upper-cased scheme+host, fragments, default
+    ports, bare hosts) keyed by page_key % 4 — the same variant
+    formulas as the Spark side."""
+    from .text import dd_domain_of, dd_url_normalize
+
+    dom = dd_domain_of("url")
+    raw = f"""(CASE page_key % 4
+        WHEN 0 THEN 'HTTPS://' || upper({dom}) || '/CasePath'
+        WHEN 1 THEN url || '#frag'
+        WHEN 2 THEN 'https://' || {dom} || ':443/p'
+        ELSE 'https://' || {dom}
+    END)"""
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)})
+        SELECT page_key, {dd_url_normalize(raw)} AS norm_url
+        FROM pages
+    """
+
+
+def q_top_ngrams(n: int, k: int) -> str:
+    from .text import dd_top_ngrams
+
+    return dd_top_ngrams(n, k)

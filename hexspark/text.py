@@ -131,3 +131,92 @@ def domain_of(url: Column) -> Column:
 
 def dd_domain_of(url: str) -> str:
     return f"regexp_extract({url}, '{URL_HOST_RE}', 1)"
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for dedup/grouping: lowercase scheme+host, strip
+    fragment, default ports, trailing slash on bare paths, and
+    tracking query params are OUT OF SCOPE (policy-specific) — this is
+    the mechanical normalization every crawl dedup applies first.
+    Native regex chain, codegen-friendly."""
+    # lowercase scheme+host only (path/query are case-significant)
+    u = F.regexp_replace(
+        url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)",
+        F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+    )
+    u = F.regexp_replace(u, r"#.*$", "")           # fragment
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    # bare host → host/ (empty path canonicalizes to "/")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/]+)$", r"$1/")
+    return u
+
+
+def dd_url_normalize(url: str) -> str:
+    """DuckDB twin of :func:`url_normalize` (same regex chain; DuckDB
+    regexp_replace needs no flags for these anchored single-match
+    patterns, and backrefs use \\1)."""
+    u = (
+        f"regexp_replace({url}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', "
+        f"lower(regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)))"
+    )
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = f"regexp_replace({u}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/]+)$', '\\1/')"
+    return u
+
+
+NGRAM_WORD_RE = "[a-z0-9]+"
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) from lowercased text —
+    native transform/slice over the token array, no UDF.  Empty array
+    when the document has fewer than ``n`` words (guards sequence()
+    from generating a DESCENDING index range)."""
+    words = F.regexp_extract_all(F.lower(text), F.lit(NGRAM_WORD_RE), 0)
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    docs: "DataFrame", n: int = 2, k: int = 20, text_col: str = "text"
+) -> "DataFrame":
+    """Corpus-wide top-``k`` word n-grams — the vocabulary/phrase-stat
+    pass of corpus analysis.  Shape at scale: explode → ONE map-side-
+    combinable groupBy on the gram, then ``orderBy(...).limit(k)``
+    which Spark plans as TakeOrderedAndProject (per-partition partial
+    top-k + driver merge of n_partitions × k rows — no global sort
+    shuffle).  Count-desc, gram-asc unique ordering keeps the k
+    boundary deterministic for the oracle."""
+    g = docs.select(F.explode(ngrams_col(F.col(text_col), n)).alias("gram"))
+    counts = g.groupBy("gram").agg(F.count("*").alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+
+
+def dd_top_ngrams(n: int = 2, k: int = 20) -> str:
+    """DuckDB twin of :func:`top_ngrams` over documents (1-based
+    inclusive list slices; RANGE upper bound exclusive)."""
+    return f"""
+        WITH words AS (
+            SELECT regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT array_to_string(
+                     w[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(w) - {n - 2}))
+            ) t(i)
+            WHERE len(w) >= {n}
+        )
+        SELECT gram, COUNT(*) AS n_occurrences
+        FROM grams GROUP BY 1
+        ORDER BY n_occurrences DESC, gram ASC
+        LIMIT {k}
+    """
