@@ -240,6 +240,25 @@ def run(spark) -> tuple[dict, dict]:
     # coarser levels rolled up from children's tile counts
     timed("q14_tile_pyramid", lambda: ops.tile_pyramid(pages, 6).count())
 
+    # q16: spatial × web-curation composite — top domains per region
+    # (URL regex-parse before the broadcast containment join, one
+    # map-side-combinable (region, domain) count, two-phase top-k)
+    def _top_domains():
+        from hexspark.text import domain_of
+
+        # bench pages lack a url column (raw spine keeps only key+lang)
+        # — derive the deterministic url the pages source would emit
+        with_url = pages.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://s"), (F.col("page_key") % 97).cast("string"),
+                F.lit(".example.org/doc/"), F.col("page_key").cast("string"),
+            ),
+        )
+        return ops.top_domains_per_region(with_url, regions, k=5).count()
+
+    timed("q16_top_domains", _top_domains)
+
     # q15: the corpus-curation pipeline END TO END (features → simhash
     # pairs → clusters → keepers → stats) INCLUDING its checkpoint
     # Parquet writes — the dedup family's pinned wall number is the
