@@ -145,6 +145,8 @@ def run_corpus_pipeline(
     work_dir: str,
     max_hamming: int = 3,
     min_quality: float = 0.0,
+    sample_bps: int = 0,
+    strata_bps: "dict[str, int] | None" = None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the training-corpus curation pipeline end to end
     — the dedup analogue of :func:`run_pipeline`, every stage
@@ -160,7 +162,11 @@ def run_corpus_pipeline(
        as ANY member passes the floor — filtering after canonical
        min-id assignment would drop a whole cluster whenever its
        lowest-id copy happened to be the low-quality one)
-    5. ``corpus_stats``  — per-language keeper counts + token totals
+    5. ``sampled``       — optional (``sample_bps > 0``): deterministic
+       per-stratum downsample of the keepers (hexspark.sample — the
+       language-rebalancing step; layout-independent, so a resumed or
+       re-run pipeline reproduces the identical corpus)
+    6. ``corpus_stats``  — per-language keeper counts + token totals
        (with the pre-dedup counts for the reduction ratio)
     """
     from . import dedup as ddp
@@ -197,20 +203,38 @@ def run_corpus_pipeline(
         inputs=["doc_features", "dup_clusters"],
     )
 
+    out: dict[str, DataFrame] = {}
+    final = keepers
+    stats_inputs = ["keepers"]
+    if sample_bps > 0:
+        from .sample import deterministic_sample
+
+        final = ck.stage(
+            "sampled",
+            lambda: deterministic_sample(
+                keepers, "doc_id", rate_bps=sample_bps,
+                strata_col="lang_guess", strata_bps=strata_bps,
+            ),
+            inputs=["keepers"],
+        )
+        out["sampled"] = final
+        stats_inputs = ["sampled"]
+
     stats = ck.stage(
         "corpus_stats",
-        lambda: keepers.groupBy("lang_guess").agg(
+        lambda: final.groupBy("lang_guess").agg(
             F.count("*").alias("n_docs"),
             F.sum("toks").alias("total_toks"),
         ),
-        inputs=["keepers"],
+        inputs=stats_inputs,
     )
 
-    return {
+    out.update({
         "doc_features": feats,
         "dup_pairs": pairs,
         "dup_clusters": clusters,
         "keepers": keepers,
         "corpus_stats": stats,
         "lineage": ck.lineage(),  # type: ignore[dict-item]
-    }
+    })
+    return out

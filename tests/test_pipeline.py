@@ -138,3 +138,30 @@ def test_pipeline_bucketed_tiles_no_exchange(spark, sf_dir, tmp_path):
             lin["pages_tiled"]["finished_at"]
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_tiled")
+
+
+def test_corpus_pipeline_sampled_stage(spark, sf_dir, tmp_path):
+    """sample_bps inserts a deterministic downsample between keepers
+    and stats: membership is a pure doc_id function, so a re-run (and
+    a resume) reproduces the identical sampled corpus."""
+    from hexspark.pipeline import run_corpus_pipeline
+    from hexspark.sample import sample_hash
+
+    root = str(tmp_path / "cs")
+    out = run_corpus_pipeline(spark, sf_dir, root, sample_bps=5000)
+    keep = {r["doc_id"] for r in out["keepers"].collect()}
+    samp = {r["doc_id"] for r in out["sampled"].collect()}
+    assert samp < keep and samp
+    # exact membership law, not just a rate
+    draws = {
+        r["doc_id"]: r["d"]
+        for r in out["keepers"].select(
+            "doc_id", sample_hash(F.col("doc_id")).alias("d")
+        ).collect()
+    }
+    assert samp == {k for k, d in draws.items() if d < 5000}
+    assert out["lineage"]["sampled"]["complete"]
+    assert out["lineage"]["corpus_stats"]["inputs"] == ["sampled"]
+    # resume reproduces it byte-for-byte
+    out2 = run_corpus_pipeline(spark, sf_dir, root, sample_bps=5000)
+    assert {r["doc_id"] for r in out2["sampled"].collect()} == samp
