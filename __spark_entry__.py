@@ -517,39 +517,18 @@ def _dd_event_quantiles() -> str:
 
 
 def _setops_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Spark twin of oracles.dd_setops_ab_srcs: two overlapping
-    compacted sets built from supplier keys with the SAME formulas —
-    B holds coarser parents, finer children, and fresh disjoint cells
-    relative to A, exercising every branch of the set algebra."""
-    import hexspark.constants as K
+    """Spark twin of oracles.dd_setops_ab_srcs: the shared
+    overlapping-sets fixture (setops.synth_overlapping_sets) built
+    from supplier keys — B holds coarser parents, finer children, and
+    fresh disjoint cells relative to A, exercising every branch of the
+    set algebra."""
     from hexspark.oracles import SETOPS_FRESH_OFFSET, SETOPS_RES_A
+    from hexspark.setops import synth_overlapping_sets
 
-    ra = SETOPS_RES_A
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
-    cell = synth.cell_from_key(F.col("s_suppkey"), ra)
-    a = bx.build_region(sup.select(cell.alias("cell")), compactor="set")
-    child_shift = (K.MAX_RES - (ra + 1)) * K.DIGIT_BITS
-    bumped = (
-        cell.bitwiseAND(F.lit(~K.RES_MASK))
-        .bitwiseOR(F.lit((ra + 1) << K.RES_OFFSET))
+    keys = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k")
     )
-    child3 = bumped - F.lit(4).cast("long") * F.lit(1 << child_shift)
-    bsrc = (
-        sup.filter(F.col("s_suppkey") % 5 == 0)
-        .select(cx.to_parent(cell, ra - 1).alias("cell"))
-        .unionByName(
-            sup.filter(F.col("s_suppkey") % 7 == 1).select(child3.alias("cell"))
-        )
-        .unionByName(
-            sup.filter(F.col("s_suppkey") % 11 == 2).select(
-                synth.cell_from_key(
-                    F.col("s_suppkey") + SETOPS_FRESH_OFFSET, ra
-                ).alias("cell")
-            )
-        )
-    )
-    b = bx.build_region(bsrc, compactor="set")
-    return a, b
+    return synth_overlapping_sets(keys, SETOPS_RES_A, SETOPS_FRESH_OFFSET)
 
 
 TOP_DOMAINS_K = 3

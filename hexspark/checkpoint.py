@@ -113,6 +113,13 @@ class Checkpointer:
         """Path handed to spark.read/write (keeps the caller's scheme)."""
         return self.root.rstrip("/") + "/" + name
 
+    def _root_digest(self) -> str:
+        """Stable 8-hex digest of the checkpoint root — namespaces
+        catalog objects (bucketed tables) per work dir."""
+        import hashlib
+
+        return hashlib.sha1(self.root.encode("utf-8")).hexdigest()[:8]
+
     def _paths(self, name: str) -> tuple[str, str]:
         d = posixpath.join(self._root_path, name)
         return d, posixpath.join(d, MANIFEST)
@@ -140,6 +147,23 @@ class Checkpointer:
         _, mpath = self._paths(name)
         return self._read_json(mpath)
 
+    def _resume_ok(
+        self, name: str, inputs: Optional[list[str]], params: Optional[dict]
+    ) -> bool:
+        """A completed stage is reused only when its recorded WIRING
+        matches the current call: a pipeline re-run with different
+        stage inputs (e.g. stats now rolling up from a sampled stage)
+        or different parameters must recompute, not silently return
+        the old configuration's rows.  Manifests written before params
+        existed have no key → treated as params=None."""
+        man = self.manifest(name)
+        return bool(
+            man
+            and man.get("complete", False)
+            and man.get("inputs", []) == (inputs or [])
+            and man.get("params") == params
+        )
+
     def stage(
         self,
         name: str,
@@ -147,9 +171,10 @@ class Checkpointer:
         inputs: Optional[list[str]] = None,
         quarantine_fn: Optional[Callable[[], DataFrame]] = None,
         mode: str = "overwrite",
+        params: Optional[dict] = None,
     ) -> DataFrame:
         d, mpath = self._paths(name)
-        if self.is_complete(name):
+        if self._resume_ok(name, inputs, params):
             return self.spark.read.parquet(self._spark_path(name))
         t0 = time.time()
         df = fn()
@@ -165,6 +190,7 @@ class Checkpointer:
         man = {
             "stage": name,
             "inputs": inputs or [],
+            "params": params,
             "complete": True,
             "wall_sec": round(time.time() - t0, 3),
             "rows": sum(m["rows"] for m in parts),
@@ -187,28 +213,35 @@ class Checkpointer:
         bucket_col: str,
         n_buckets: int = 64,
         inputs: Optional[list[str]] = None,
+        params: Optional[dict] = None,
     ) -> DataFrame:
         """Like :meth:`stage`, but materializes through
         ``storage.write_bucketed`` (hash-bucketed ``saveAsTable``), so
         every downstream join/aggregation keyed on ``bucket_col`` reads
         co-located buckets and plans NO Exchange — the stage boundary
         doubles as the shuffle boundary for the whole downstream fan-out.
-        The table name is the stage name; the manifest (same schema as
-        parquet stages, plus bucket metadata) still lives under the
-        checkpoint root, with per-file metrics read from the table's
-        parquet footers."""
+        The catalog table name is the stage name suffixed with a hash
+        of the checkpoint root — the catalog is SESSION-GLOBAL while
+        work dirs are per-pipeline, so a bare stage name would let two
+        pipelines (or one resumed after another ran) silently overwrite
+        and then read back each other's rows.  The manifest (same
+        schema as parquet stages, plus bucket metadata and the table
+        name) still lives under the checkpoint root, with per-file
+        metrics read from the table's parquet footers."""
         _, mpath = self._paths(name)
-        if self.is_complete(name) and self.spark.catalog.tableExists(name):
-            return self.spark.table(name)
+        tbl = f"{name}_{self._root_digest()}"
+        if self._resume_ok(name, inputs, params) and self.spark.catalog.tableExists(tbl):
+            return self.spark.table(tbl)
         t0 = time.time()
         from .storage import write_bucketed
 
-        write_bucketed(fn(), name, bucket_col, n_buckets)
-        out = self.spark.table(name)
+        write_bucketed(fn(), tbl, bucket_col, n_buckets)
+        out = self.spark.table(tbl)
         parts = _file_metrics(out.inputFiles())
         man = {
             "stage": name,
             "inputs": inputs or [],
+            "params": params,
             "complete": True,
             "wall_sec": round(time.time() - t0, 3),
             "rows": sum(m["rows"] for m in parts),
@@ -216,6 +249,7 @@ class Checkpointer:
             "n_partitions": len(parts),
             "partitions": parts,
             "quarantined_rows": None,
+            "table": tbl,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

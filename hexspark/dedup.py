@@ -462,7 +462,16 @@ def dup_clusters(
     * ``'reliable'`` — ``checkpoint()`` to the SparkContext checkpoint
       dir (must be set): blocks persist to the shared FS, so a lost
       executor re-reads the round's labels instead of killing the job.
-      Use this on multi-executor clusters.
+      Use this on multi-executor clusters.  Costs to know: (a) eager
+      ``checkpoint()`` computes the round once to return rows and
+      again to write the checkpoint files (~2× per-round compute vs
+      localCheckpoint — label relations are component-scale, so this
+      is usually cheap); (b) Spark does NOT delete reliable
+      checkpoint files unless
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (off
+      by default), so long-running drivers that call this repeatedly
+      should enable that cleaner or purge the checkpoint dir
+      themselves — ~``max_iter`` label snapshots accrue per call.
     * ``'auto'`` (default) — ``'reliable'`` when
       ``sparkContext.getCheckpointDir()`` is set, else ``'local'``.
 

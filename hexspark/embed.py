@@ -118,6 +118,18 @@ def _footer_row_count(df: DataFrame) -> Optional[int]:
     import pyarrow.parquet as pq
 
     try:
+        # footer counts are only an upper bound for plans that DROP
+        # rows (filters); a row-MULTIPLYING plan (join fan-out,
+        # explode) would make them an UNDER-estimate and the sized
+        # sample fraction would oversample — exactly the unbounded-fit
+        # cost this path exists to prevent.  Reject any plan whose
+        # analyzed tree contains a multiplying/combining operator.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(op in plan for op in (
+            "Join", "Generate", "Union", "Expand", "Aggregate",
+            "Window", "Sample", "GlobalLimit",
+        )):
+            return None
         files = df.inputFiles()
     except Exception:
         return None

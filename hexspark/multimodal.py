@@ -28,7 +28,15 @@ def _probe_codecs() -> "str | None":
     Neither ships in this sandbox, so the probe resolves to None here
     and every operator runs the deterministic stub kernels — but on a
     cluster image with Pillow/opencv installed the same module wires
-    the real decode/resize paths with zero edits."""
+    the real decode/resize paths with zero edits.
+
+    The probe runs on the DRIVER at plan time; the chosen codec name
+    is shipped in the task closure and the library is imported again
+    inside each executor's kernel call — so a cluster whose executors
+    lack the driver's codec fails per-task with ImportError.  Install
+    the codec in the cluster image (the standard requirement for any
+    Python dep used in UDFs), or pass ``codec=None`` to force the
+    stub everywhere."""
     try:
         import PIL.Image  # noqa: F401
         return "pil"

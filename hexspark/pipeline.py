@@ -189,6 +189,7 @@ def run_corpus_pipeline(
     pairs = ck.stage(
         "dup_pairs",
         lambda: ddp.simhash_pairs(docs, max_hamming=max_hamming, bits=32),
+        params={"max_hamming": max_hamming},
     )
 
     clusters = ck.stage(
@@ -201,6 +202,7 @@ def run_corpus_pipeline(
         "keepers",
         lambda: select_keepers(feats, clusters, min_quality),
         inputs=["doc_features", "dup_clusters"],
+        params={"min_quality": min_quality},
     )
 
     out: dict[str, DataFrame] = {}
@@ -216,6 +218,7 @@ def run_corpus_pipeline(
                 strata_col="lang_guess", strata_bps=strata_bps,
             ),
             inputs=["keepers"],
+            params={"sample_bps": sample_bps, "strata_bps": strata_bps},
         )
         out["sampled"] = final
         stats_inputs = ["sampled"]

@@ -32,16 +32,39 @@ LEHMER_MOD = 2_147_483_647  # 2^31 - 1, Park–Miller modulus
 BPS_SCALE = 10_000
 
 
-def sample_hash(key: Column) -> Column:
-    """Layout-independent per-row draw in [0, 10000) from an integer
-    key.  Keys must be non-negative and < ~1.9e14 (i64 overflow bound
-    under ANSI mode — raise, never wrap silently)."""
-    return (key.cast("long") * LEHMER_MULT) % LEHMER_MOD % BPS_SCALE
+def _salt_mult(salt: int) -> int:
+    """Per-salt multiplier ``48271^(salt+1) mod p``.  The salt must
+    enter MULTIPLICATIVELY: any affine-in-key variation (adding
+    ``salt·C`` anywhere) makes two salted draws differ by a CONSTANT
+    mod p, i.e. a pure rotation — composed threshold sets would be
+    deterministically shifted (e.g. a 10% sample and a 10% test split
+    perfectly disjoint or perfectly nested), not independent.  A
+    different full-period multiplier per salt scrambles the low
+    digits (measured pairwise correlation ~1e-4, joint rate =
+    product rate)."""
+    return pow(LEHMER_MULT, salt + 1, LEHMER_MOD)
 
 
-def dd_sample_hash(key: str) -> str:
+def sample_hash(key: Column, salt: int = 0) -> Column:
+    """Layout-independent per-row draw in [0, 10000) from a
+    non-negative integer key.  The key is reduced mod p BEFORE the
+    multiply, so the arithmetic fits int64 for any i64 key under ANSI
+    mode (keys differing by exactly p = 2^31-1 share a draw — harmless
+    for rate-based selection).
+
+    ``salt`` decorrelates INDEPENDENT uses of the draw on the same key
+    space (see :func:`_salt_mult`): :func:`deterministic_sample`
+    defaults to salt 0, :func:`train_test_split` to salt 1, so
+    splitting a sample is not degenerate."""
+    return (key.cast("long") % LEHMER_MOD) * _salt_mult(salt) % LEHMER_MOD % BPS_SCALE
+
+
+def dd_sample_hash(key: str, salt: int = 0) -> str:
     """DuckDB twin of :func:`sample_hash` (identical int arithmetic)."""
-    return f"((({key} * {LEHMER_MULT}) % {LEHMER_MOD}) % {BPS_SCALE})"
+    return (
+        f"(((({key} % {LEHMER_MOD}) * {_salt_mult(salt)})"
+        f" % {LEHMER_MOD}) % {BPS_SCALE})"
+    )
 
 
 def deterministic_sample(
@@ -50,6 +73,7 @@ def deterministic_sample(
     rate_bps: int = 1000,
     strata_col: Optional[str] = None,
     strata_bps: Optional[Mapping[str, int]] = None,
+    salt: int = 0,
 ) -> DataFrame:
     """Keep each row iff its key-hash draw falls under the rate.
 
@@ -57,8 +81,10 @@ def deterministic_sample(
     ``strata_col`` + ``strata_bps`` the rate is per stratum (e.g.
     downsample dominant languages harder: ``{"en": 500, "de": 2000}``),
     unlisted strata falling back to ``rate_bps`` — the standard
-    rebalancing step before training-corpus assembly."""
-    draw = sample_hash(F.col(key_col))
+    rebalancing step before training-corpus assembly.  Pass distinct
+    ``salt`` values when composing several samples over one key space
+    (see :func:`sample_hash`)."""
+    draw = sample_hash(F.col(key_col), salt)
     if strata_col is None:
         return df.filter(draw < rate_bps)
     thr: Column = F.lit(rate_bps)
@@ -74,9 +100,10 @@ def dd_deterministic_sample(
     rate_bps: int,
     strata_col: Optional[str] = None,
     strata_bps: Optional[Mapping[str, int]] = None,
+    salt: int = 0,
 ) -> str:
     """DuckDB twin of :func:`deterministic_sample` as a full SELECT."""
-    draw = dd_sample_hash(key)
+    draw = dd_sample_hash(key, salt)
     if strata_col is None:
         thr = str(rate_bps)
     else:
@@ -89,11 +116,15 @@ def dd_deterministic_sample(
 
 
 def train_test_split(
-    df: DataFrame, key_col: str, test_bps: int = 1000
+    df: DataFrame, key_col: str, test_bps: int = 1000, salt: int = 1
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic, leakage-free (train, test) split: the draw is a
     pure key function, so the same document can never migrate between
     splits across runs or repartitions (the property random splits
-    lose the moment the pipeline is re-run on appended data)."""
-    draw = sample_hash(F.col(key_col))
+    lose the moment the pipeline is re-run on appended data).
+
+    Default ``salt=1`` ≠ deterministic_sample's 0, so splitting a
+    deterministic sample is NOT degenerate (with a shared salt the
+    test split would be exactly the sample's low-draw rows)."""
+    draw = sample_hash(F.col(key_col), salt)
     return df.filter(draw >= test_bps), df.filter(draw < test_bps)

@@ -45,6 +45,42 @@ def _cells(df: DataFrame, cell_col: str) -> DataFrame:
     return df.select(F.col(cell_col).alias("cell"))
 
 
+def synth_overlapping_sets(
+    keys: DataFrame, res: int, fresh_offset: int, key_col: str = "k"
+) -> tuple[DataFrame, DataFrame]:
+    """The canonical (A, B) fixture for exercising every set-algebra
+    branch: A = keyed cells at ``res``; B overlaps A three ways —
+    coarser parents (k%5==0), res+1 digit-3 children (k%7==1), and
+    fresh mostly-disjoint cells (k%11==2, keys shifted by
+    ``fresh_offset``).  ONE definition shared by the oracle contract
+    query (__spark_entry__) and the unit tests, with the SQL twin
+    generated from the same formulas in oracles.dd_setops_ab_srcs —
+    three hand-copies of the bit math would drift silently."""
+    from . import synth
+
+    k = F.col(key_col)
+    cell = synth.cell_from_key(k, res)
+    a = bx.build_region(keys.select(cell.alias("cell")), compactor="set")
+    child_shift = (K.MAX_RES - (res + 1)) * K.DIGIT_BITS
+    bumped = (
+        cell.bitwiseAND(F.lit(~K.RES_MASK))
+        .bitwiseOR(F.lit((res + 1) << K.RES_OFFSET))
+    )
+    child3 = bumped - F.lit(4).cast("long") * F.lit(1 << child_shift)
+    bsrc = (
+        keys.filter(k % 5 == 0)
+        .select(cx.to_parent(cell, res - 1).alias("cell"))
+        .unionByName(keys.filter(k % 7 == 1).select(child3.alias("cell")))
+        .unionByName(
+            keys.filter(k % 11 == 2).select(
+                synth.cell_from_key(k + fresh_offset, res).alias("cell")
+            )
+        )
+    )
+    b = bx.build_region(bsrc, compactor="set")
+    return a, b
+
+
 def _covered(
     probes: DataFrame, other: DataFrame, how: str = "inner"
 ) -> DataFrame:

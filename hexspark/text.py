@@ -118,31 +118,46 @@ def dd_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(lower(trim({text})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
-URL_HOST_RE = r"^https?://([^/]+)/"
+# (?i): raw crawl URLs carry upper-case schemes; no trailing '/': bare
+# hosts are common.  RE2 (DuckDB) and Java (Spark) both accept the
+# inline flag.
+URL_HOST_RE = r"^(?i)https?://([^/]+)"
 
 
 def domain_of(url: Column) -> Column:
     """Registrable host from a crawl URL (native regex — runs inside
     whole-stage codegen over the 10^12-row pages table; URL-keyed
     grouping is the standard crawl-curation dimension: per-domain
-    caps, quality priors, spam blocklists)."""
-    return F.regexp_extract(url, URL_HOST_RE, 1)
+    caps, quality priors, spam blocklists).  Matches bare-host URLs
+    too ('https://example.com' with no path) — a trailing '/' in the
+    pattern would silently bucket every such URL under domain ''.
+    Host is lowercased (DNS names are case-insensitive)."""
+    return F.lower(F.regexp_extract(url, URL_HOST_RE, 1))
 
 
 def dd_domain_of(url: str) -> str:
-    return f"regexp_extract({url}, '{URL_HOST_RE}', 1)"
+    return f"lower(regexp_extract({url}, '{URL_HOST_RE}', 1))"
+
+
+URL_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
 
 
 def url_normalize(url: Column) -> Column:
     """Canonical URL for dedup/grouping: lowercase scheme+host, strip
-    fragment, default ports, trailing slash on bare paths, and
-    tracking query params are OUT OF SCOPE (policy-specific) — this is
-    the mechanical normalization every crawl dedup applies first.
-    Native regex chain, codegen-friendly."""
-    # lowercase scheme+host only (path/query are case-significant)
-    u = F.regexp_replace(
-        url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)",
-        F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+    fragment, default ports, trailing slash on bare paths; tracking
+    query params are OUT OF SCOPE (policy-specific) — this is the
+    mechanical normalization every crawl dedup applies first.
+    Native expression chain, codegen-friendly.
+
+    The authority is lowercased by CONCAT of lower(prefix) + rest, not
+    by a regexp_replace with a dynamic replacement — Java replacement
+    strings interpret ``$``/``\`` (an authority containing ``$``, legal
+    per RFC 3986 sub-delims, would throw "No group" or substitute a
+    capture group mid-job), and the SQL twin's replacement dialect
+    differs; concat has no replacement semantics in either engine."""
+    auth = F.regexp_extract(url, URL_AUTHORITY_RE, 0)
+    u = F.concat(
+        F.lower(auth), F.substring(url, F.length(auth) + 1, F.lit(1 << 30))
     )
     u = F.regexp_replace(u, r"#.*$", "")           # fragment
     u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
@@ -153,13 +168,11 @@ def url_normalize(url: Column) -> Column:
 
 
 def dd_url_normalize(url: str) -> str:
-    """DuckDB twin of :func:`url_normalize` (same regex chain; DuckDB
-    regexp_replace needs no flags for these anchored single-match
-    patterns, and backrefs use \\1)."""
-    u = (
-        f"regexp_replace({url}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', "
-        f"lower(regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)))"
-    )
+    """DuckDB twin of :func:`url_normalize` (same concat-of-lowered-
+    authority form — no dynamic replacement strings in either engine —
+    then the same fixed regex chain; DuckDB backrefs use \\1)."""
+    auth = f"regexp_extract({url}, '{URL_AUTHORITY_RE}', 0)"
+    u = f"(lower({auth}) || substr({url}, length({auth}) + 1))"
     u = f"regexp_replace({u}, '#.*$', '')"
     u = f"regexp_replace({u}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
     u = f"regexp_replace({u}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"

@@ -101,6 +101,7 @@ def test_pipeline_bucketed_tiles_no_exchange(spark, sf_dir, tmp_path):
 
     from hexspark import ops
 
+    tbl = None
     try:
         out = run_pipeline(spark, sf_dir, str(tmp_path / "wb"),
                            copies=2, bucket_tiles=8)
@@ -114,11 +115,16 @@ def test_pipeline_bucketed_tiles_no_exchange(spark, sf_dir, tmp_path):
         assert lin["pages_tiled"]["bucket_col"] == "tile"
         assert lin["pages_tiled"]["n_buckets"] == 8
         assert lin["pages_tiled"]["rows"] == lin["pages_valid"]["rows"]
+        # catalog name is namespaced per work dir (the catalog is
+        # session-global; a bare stage name would let two pipelines
+        # clobber each other's bucketed tables)
+        tbl = lin["pages_tiled"]["table"]
+        assert tbl.startswith("pages_tiled_") and tbl != "pages_tiled"
 
         # executed-plan assert on the pipeline's second join: re-drive
         # the rollup over the bucketed table and count real shuffles
         roll = ops.tile_region_rollup_pretiled(
-            spark.table("pages_tiled"), out["regions"]
+            spark.table(tbl), out["regions"]
         )
         roll.collect()
         # AQE's toString repeats the tree as "== Initial Plan ==" —
@@ -137,7 +143,8 @@ def test_pipeline_bucketed_tiles_no_exchange(spark, sf_dir, tmp_path):
         assert out3["lineage"]["pages_tiled"]["finished_at"] == \
             lin["pages_tiled"]["finished_at"]
     finally:
-        spark.sql("DROP TABLE IF EXISTS pages_tiled")
+        if tbl:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def test_corpus_pipeline_sampled_stage(spark, sf_dir, tmp_path):
@@ -148,7 +155,16 @@ def test_corpus_pipeline_sampled_stage(spark, sf_dir, tmp_path):
     from hexspark.sample import sample_hash
 
     root = str(tmp_path / "cs")
+    # first run WITHOUT sampling on the same work dir: the later
+    # sampled run must RECOMPUTE corpus_stats (its input wiring
+    # changed keepers→sampled), not read back the unsampled stats
+    out0 = run_corpus_pipeline(spark, sf_dir, root)
+    stats0 = {r["lang_guess"]: r["n_docs"] for r in out0["corpus_stats"].collect()}
+
     out = run_corpus_pipeline(spark, sf_dir, root, sample_bps=5000)
+    stats1 = {r["lang_guess"]: r["n_docs"] for r in out["corpus_stats"].collect()}
+    assert sum(stats1.values()) < sum(stats0.values())
+    assert sum(stats1.values()) == out["sampled"].count()
     keep = {r["doc_id"] for r in out["keepers"].collect()}
     samp = {r["doc_id"] for r in out["sampled"].collect()}
     assert samp < keep and samp

@@ -49,6 +49,24 @@ def test_train_test_split_partition_and_stability(spark):
     assert {k for k in te2.toPandas()["k"] if k < 5000} == te
 
 
+def test_sample_then_split_not_degenerate(spark):
+    """Composing sample → split must NOT be degenerate: with the old
+    shared draw, test_bps <= rate_bps put 100% of the sample in test.
+    Distinct default salts decorrelate the two selections."""
+    from hexspark.sample import deterministic_sample, train_test_split
+
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    sampled = deterministic_sample(df, "k", rate_bps=1000)  # salt 0
+    train, test = train_test_split(sampled, "k", test_bps=1000)  # salt 1
+    n_s, n_tr, n_te = sampled.count(), train.count(), test.count()
+    assert n_tr + n_te == n_s
+    # test share of the sample ≈ 10%, not 100%
+    assert 0.05 < n_te / n_s < 0.20
+    # explicit same-salt composition IS degenerate (documented hazard)
+    _, te_same = train_test_split(sampled, "k", test_bps=1000, salt=0)
+    assert te_same.count() == n_s
+
+
 def test_sample_hash_range(spark):
     mx = spark.range(0, 100000).select(
         F.max(sample_hash(F.col("id"))).alias("mx"),

@@ -10,8 +10,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from hexspark import build as bx
-from hexspark import cells as cx
-from hexspark import synth
 from hexspark.setops import set_difference, set_intersect, set_union
 
 RES_A = 6
@@ -54,32 +52,17 @@ def _canonical(df):
 
 @pytest.fixture(scope="module")
 def ab(spark):
+    """The SHARED overlapping-sets fixture (setops.synth_overlapping_sets
+    — same builder the oracle contract query uses, same fresh-offset
+    constant) over a larger key range than the supplier table, so the
+    unit tests exercise the identical three overlap regimes without a
+    hand-copied second version of the bit math."""
+    from hexspark.oracles import SETOPS_FRESH_OFFSET
+    from hexspark.setops import synth_overlapping_sets
+
     keys = spark.range(0, 400).select(F.col("id").alias("k"))
-    base = keys.select(synth.cell_from_key(F.col("k"), RES_A).alias("cell"))
-    a = bx.build_region(base, compactor="set").persist()
-
-    # B overlaps A three ways: coarser ancestors (k%5==0), finer
-    # children (k%7==1, digit-3 child at res 7), mostly-disjoint fresh
-    # cells (k%11==2)
-    child_shift = (15 - (RES_A + 1)) * 3
-    import hexspark.constants as K
-
-    bumped = (
-        synth.cell_from_key(F.col("k"), RES_A)
-        .bitwiseAND(F.lit(~K.RES_MASK))
-        .bitwiseOR(F.lit((RES_A + 1) << K.RES_OFFSET))
-    )
-    child3 = bumped - F.lit(4).cast("long") * F.lit(1 << child_shift)
-    bsrc = (
-        keys.filter(F.col("k") % 5 == 0)
-        .select(cx.to_parent(synth.cell_from_key(F.col("k"), RES_A), RES_A - 1).alias("cell"))
-        .unionByName(keys.filter(F.col("k") % 7 == 1).select(child3.alias("cell")))
-        .unionByName(
-            keys.filter(F.col("k") % 11 == 2)
-            .select(synth.cell_from_key(F.col("k") + 999983, RES_A).alias("cell"))
-        )
-    )
-    b = bx.build_region(bsrc, compactor="set").persist()
+    a, b = synth_overlapping_sets(keys, RES_A, SETOPS_FRESH_OFFSET)
+    a, b = a.persist(), b.persist()
     yield a, b
     a.unpersist()
     b.unpersist()

@@ -151,11 +151,11 @@ def test_embedding_dups_lsh_recall(spark, sf_dir):
 
 def test_media_feature_plumbing(spark, docs):
     media = synth_media(docs.limit(50), kind="image")
-    feats = extract_features(media, dim=16).collect()
+    feats = extract_features(media, dim=16, codec=None).collect()
     assert len(feats) == 50
     assert all(len(r["feature"]) == 16 for r in feats)
     # deterministic across partitionings
-    feats2 = extract_features(synth_media(docs.limit(50)).repartition(7), dim=16)
+    feats2 = extract_features(synth_media(docs.limit(50)).repartition(7), dim=16, codec=None)
     m1 = {r["media_id"]: list(r["feature"]) for r in feats}
     m2 = {r["media_id"]: list(r["feature"]) for r in feats2.collect()}
     assert m1 == m2
@@ -277,7 +277,7 @@ def test_media_resize_plumbing(spark, docs):
     from hexspark.multimodal import resize_media, MEDIA_SCHEMA
 
     media = synth_media(docs.limit(40), kind="image")
-    out = resize_media(media, 16, 8)
+    out = resize_media(media, 16, 8, codec=None)
     assert out.schema == MEDIA_SCHEMA
     rows = out.collect()
     assert len(rows) == 40
@@ -285,7 +285,7 @@ def test_media_resize_plumbing(spark, docs):
     assert all(len(r["payload"]) == 16 * 8 for r in rows)
     again = {
         r["media_id"]: bytes(r["payload"])
-        for r in resize_media(media.repartition(7), 16, 8).collect()
+        for r in resize_media(media.repartition(7), 16, 8, codec=None).collect()
     }
     assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
 
@@ -407,6 +407,12 @@ def test_footer_row_count(spark, sf_dir):
     assert _footer_row_count(emb) == n
     assert _footer_row_count(spark.createDataFrame([(1,)], "a: long")) is None
     assert _footer_row_count(emb.filter(F.col("vec_id") < 10)) == n
+    # row-MULTIPLYING plans must refuse footer counts (they would
+    # UNDER-estimate and the sized sample fraction would oversample)
+    assert _footer_row_count(emb.join(emb.select("vec_id"), on="vec_id")) is None
+    assert _footer_row_count(
+        emb.select(F.explode(F.col("embedding")).alias("x"))
+    ) is None
 
 
 def test_codec_probe_and_real_kernels(monkeypatch):
