@@ -151,10 +151,11 @@ def url_normalize(url: Column) -> Column:
 
     The authority is lowercased by CONCAT of lower(prefix) + rest, not
     by a regexp_replace with a dynamic replacement — Java replacement
-    strings interpret ``$``/``\`` (an authority containing ``$``, legal
-    per RFC 3986 sub-delims, would throw "No group" or substitute a
-    capture group mid-job), and the SQL twin's replacement dialect
-    differs; concat has no replacement semantics in either engine."""
+    strings interpret dollar signs and backslashes (an authority
+    containing ``$``, legal per RFC 3986 sub-delims, would throw
+    "No group" or substitute a capture group mid-job), and the SQL
+    twin's replacement dialect differs; concat has no replacement
+    semantics in either engine."""
     auth = F.regexp_extract(url, URL_AUTHORITY_RE, 0)
     u = F.concat(
         F.lower(auth), F.substring(url, F.length(auth) + 1, F.lit(1 << 30))
