@@ -64,6 +64,14 @@ def run(spark) -> tuple[dict, dict]:
             # the repeat hits the prior round's CacheManager entry and
             # measures a cache lookup, not the operator
             cachepool.clear_all(blocking=True)
+            # JVM GC between queries, OUTSIDE the timer: broadcasts and
+            # shuffle state from prior queries are reclaimed by the
+            # async ContextCleaner only after their refs are GC'd — by
+            # late suite positions that backlog inflates queries ~40-70%
+            # (q3 measured 3.5s in-suite vs 2.1s isolated, q14 8.9 vs
+            # 5.2).  An explicit gc drains the reference queue so each
+            # query measures the operator, not prior queries' garbage.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             result = fn()
             dt = time.perf_counter() - t0

@@ -42,6 +42,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("HEXSPARK_DRIVER_MEM", "8g"))
+        # whole-stage codegen emits one compiled class per plan; a long
+        # query suite fills the JVM's default ~240m code cache and HotSpot
+        # silently falls back to interpreted paths (measured: late-suite
+        # q14_tile_pyramid 7.8s -> 6.0s with 512m).  Must be set BEFORE
+        # the driver JVM launches — a callers' extra_conf still overrides.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "HEXSPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
