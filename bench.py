@@ -252,8 +252,6 @@ def run(spark) -> tuple[dict, dict]:
     # (URL regex-parse before the broadcast containment join, one
     # map-side-combinable (region, domain) count, two-phase top-k)
     def _top_domains():
-        from hexspark.text import domain_of
-
         # bench pages lack a url column (raw spine keeps only key+lang)
         # — derive the deterministic url the pages source would emit
         with_url = pages.withColumn(

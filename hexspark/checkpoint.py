@@ -115,10 +115,17 @@ class Checkpointer:
 
     def _root_digest(self) -> str:
         """Stable 8-hex digest of the checkpoint root — namespaces
-        catalog objects (bucketed tables) per work dir."""
+        catalog objects (bucketed tables) per work dir.  Hashes the
+        NORMALIZED (filesystem-type, in-fs path) pair, not the raw
+        spelling: 'wd' from two CWDs must get different digests
+        (else one pipeline reads back the other's table), while
+        'file:///x', '/x' and 'x/' from /x's parent are the same dir
+        and must share one (else resume misses the table and leaks a
+        duplicate)."""
         import hashlib
 
-        return hashlib.sha1(self.root.encode("utf-8")).hexdigest()[:8]
+        key = f"{type(self._fs).__name__}:{self._root_path.rstrip('/')}"
+        return hashlib.sha1(key.encode("utf-8")).hexdigest()[:8]
 
     def _paths(self, name: str) -> tuple[str, str]:
         d = posixpath.join(self._root_path, name)

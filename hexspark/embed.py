@@ -127,7 +127,9 @@ def _footer_row_count(df: DataFrame) -> Optional[int]:
         plan = df._jdf.queryExecution().analyzed().toString()
         if any(op in plan for op in (
             "Join", "Generate", "Union", "Expand", "Aggregate",
-            "Window", "Sample", "GlobalLimit",
+            "Window", "Sample", "GlobalLimit", "MapInPandas",
+            "MapInArrow", "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas", "MapPartitions",
         )):
             return None
         files = df.inputFiles()

@@ -46,9 +46,17 @@ def run_pipeline(
     Output is identical to the unbucketed path (asserted in tests)."""
     ck = Checkpointer(spark, work_dir)
 
+    # params are TRANSITIVE: each stage records its own knobs PLUS every
+    # ancestor's (a copies change must invalidate region_counts even
+    # though region_counts' direct inputs are unchanged — _resume_ok
+    # only compares the recorded dict, it cannot see through the DAG)
+    p_pages = {"copies": copies, "page_res": page_res}
+    p_tiles = {**p_pages, "tile_res": tile_res, "bucket_tiles": bucket_tiles}
+
     pages = ck.stage(
         "pages",
         lambda: synth_pages(spark, sf_dir, copies=copies, res=page_res, with_html=False),
+        params=p_pages,
     )
 
     # quarantine stage: split valid/invalid probe cells, count both.
@@ -59,6 +67,7 @@ def run_pipeline(
         lambda: bx.validate_cells(pages)[0],
         inputs=["pages"],
         quarantine_fn=lambda: bx.validate_cells(pages)[1],
+        params=p_pages,
     )
 
     regions = ck.stage("region_map", lambda: ops.region_map(spark))
@@ -69,6 +78,7 @@ def run_pipeline(
             valid.select("page_key", "cell", "lang"), regions, probe_col="cell"
         ),
         inputs=["pages_valid", "region_map"],
+        params=p_pages,
     )
 
     counts = ck.stage(
@@ -78,6 +88,7 @@ def run_pipeline(
             F.count_distinct("lang").alias("n_langs"),
         ),
         inputs=["assigned"],
+        params=p_pages,
     )
 
     out: dict[str, DataFrame] = {}
@@ -90,20 +101,25 @@ def run_pipeline(
             bucket_col="tile",
             n_buckets=bucket_tiles,
             inputs=["pages_valid"],
+            params=p_tiles,
         )
         out["pages_tiled"] = tiled
         tiles = ck.stage(
             "tile_rollup",
             lambda: ops.tile_region_rollup_pretiled(tiled, regions),
             inputs=["pages_tiled", "region_map"],
+            params=p_tiles,
         )
     else:
         tiles = ck.stage(
             "tile_rollup",
             lambda: ops.tile_region_rollup(valid, regions, tile_res),
             inputs=["pages_valid", "region_map"],
+            params=p_tiles,
         )
 
+    active = {"pages", "pages_valid", "region_map", "assigned",
+              "region_counts", "tile_rollup"} | set(out)
     out.update({
         "pages": pages,
         "valid": valid,
@@ -111,7 +127,10 @@ def run_pipeline(
         "assigned": assigned,
         "region_counts": counts,
         "tile_rollup": tiles,
-        "lineage": ck.lineage(),  # type: ignore[dict-item]
+        # only THIS run's wiring: a leftover manifest from a previous
+        # configuration (e.g. pages_tiled after a bucketed run) must
+        # not surface as an active stage
+        "lineage": {k: v for k, v in ck.lineage().items() if k in active},  # type: ignore[dict-item]
     })
     return out
 
@@ -175,6 +194,12 @@ def run_corpus_pipeline(
     ck = Checkpointer(spark, work_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # transitive params (see run_pipeline): a max_hamming change must
+    # invalidate clusters/keepers/stats too, not just dup_pairs
+    p_pairs = {"max_hamming": max_hamming}
+    p_keep = {**p_pairs, "min_quality": min_quality}
+    p_samp = {**p_keep, "sample_bps": sample_bps, "strata_bps": strata_bps}
+
     feats = ck.stage(
         "doc_features",
         lambda: docs.select(
@@ -189,20 +214,21 @@ def run_corpus_pipeline(
     pairs = ck.stage(
         "dup_pairs",
         lambda: ddp.simhash_pairs(docs, max_hamming=max_hamming, bits=32),
-        params={"max_hamming": max_hamming},
+        params=p_pairs,
     )
 
     clusters = ck.stage(
         "dup_clusters",
         lambda: ddp.dup_clusters(pairs, all_ids=docs.select("doc_id")),
         inputs=["dup_pairs"],
+        params=p_pairs,
     )
 
     keepers = ck.stage(
         "keepers",
         lambda: select_keepers(feats, clusters, min_quality),
         inputs=["doc_features", "dup_clusters"],
-        params={"min_quality": min_quality},
+        params=p_keep,
     )
 
     out: dict[str, DataFrame] = {}
@@ -218,7 +244,7 @@ def run_corpus_pipeline(
                 strata_col="lang_guess", strata_bps=strata_bps,
             ),
             inputs=["keepers"],
-            params={"sample_bps": sample_bps, "strata_bps": strata_bps},
+            params=p_samp,
         )
         out["sampled"] = final
         stats_inputs = ["sampled"]
@@ -230,14 +256,17 @@ def run_corpus_pipeline(
             F.sum("toks").alias("total_toks"),
         ),
         inputs=stats_inputs,
+        params=p_samp if sample_bps > 0 else p_keep,
     )
 
+    active = {"doc_features", "dup_pairs", "dup_clusters", "keepers",
+              "corpus_stats"} | set(out)
     out.update({
         "doc_features": feats,
         "dup_pairs": pairs,
         "dup_clusters": clusters,
         "keepers": keepers,
         "corpus_stats": stats,
-        "lineage": ck.lineage(),  # type: ignore[dict-item]
+        "lineage": {k: v for k, v in ck.lineage().items() if k in active},  # type: ignore[dict-item]
     })
     return out

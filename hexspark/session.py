@@ -7,6 +7,9 @@ import os
 from pyspark.sql import SparkSession
 
 
+_BASE_DRIVER_JAVA_OPTS = "-XX:ReservedCodeCacheSize=512m"
+
+
 def get_spark(
     app_name: str = "hexspark",
     master: str | None = None,
@@ -46,15 +49,18 @@ def get_spark(
         # query suite fills the JVM's default ~240m code cache and HotSpot
         # silently falls back to interpreted paths (measured: late-suite
         # q14_tile_pyramid 7.8s -> 6.0s with 512m).  Must be set BEFORE
-        # the driver JVM launches — a callers' extra_conf still overrides.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "HEXSPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
-            ),
-        )
+        # the driver JVM launches.  Caller/env options are APPENDED, not
+        # substituted — bench_scaling's '-XX:+UseParallelGC' must not
+        # silently drop this fix; a caller overriding the same flag wins
+        # anyway (the JVM takes the LAST occurrence of a repeated flag).
+        .config("spark.driver.extraJavaOptions", _BASE_DRIVER_JAVA_OPTS + (
+            " " + os.environ["HEXSPARK_DRIVER_JAVA_OPTS"]
+            if os.environ.get("HEXSPARK_DRIVER_JAVA_OPTS") else ""
+        ))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.driver.extraJavaOptions":
+            v = f"{_BASE_DRIVER_JAVA_OPTS} {v}"
         b = b.config(k, v)
     return b.getOrCreate()

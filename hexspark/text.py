@@ -118,10 +118,13 @@ def dd_fingerprint(text: str) -> str:
     return f"md5(regexp_replace(lower(trim({text})), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
-# (?i): raw crawl URLs carry upper-case schemes; no trailing '/': bare
-# hosts are common.  RE2 (DuckDB) and Java (Spark) both accept the
-# inline flag.
-URL_HOST_RE = r"^(?i)https?://([^/]+)"
+# (?i): raw crawl URLs carry upper-case schemes.  The capture is the
+# HOST alone: optional userinfo ('user@') is skipped, and the host
+# stops at ':' (port), '/', '?' or '#' — so bare-host URLs, path-less
+# URLs with query strings, and explicit ports all group under the
+# same domain key.  RE2 (DuckDB) and Java (Spark) both accept the
+# inline flag and the non-capturing group.
+URL_HOST_RE = r"^(?i)https?://(?:[^/?#@]*@)?([^/?#:]+)"
 
 
 def domain_of(url: Column) -> Column:
@@ -139,7 +142,10 @@ def dd_domain_of(url: str) -> str:
     return f"lower(regexp_extract({url}, '{URL_HOST_RE}', 1))"
 
 
-URL_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+# authority stops at '/', '?' or '#': a path-less URL with a query
+# ('https://h.com?Token=AbC') must NOT have its case-sensitive query
+# lowercased with the host
+URL_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
 def url_normalize(url: Column) -> Column:
@@ -161,10 +167,11 @@ def url_normalize(url: Column) -> Column:
         F.lower(auth), F.substring(url, F.length(auth) + 1, F.lit(1 << 30))
     )
     u = F.regexp_replace(u, r"#.*$", "")           # fragment
-    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
-    # bare host → host/ (empty path canonicalizes to "/")
-    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/]+)$", r"$1/")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?]|$)", r"$1$2")
+    # empty path canonicalizes to "/": 'h.com' -> 'h.com/',
+    # 'h.com?q' -> 'h.com/?q' (WHATWG serialization)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)(\?|$)", r"$1/$2")
     return u
 
 
@@ -175,9 +182,9 @@ def dd_url_normalize(url: str) -> str:
     auth = f"regexp_extract({url}, '{URL_AUTHORITY_RE}', 0)"
     u = f"(lower({auth}) || substr({url}, length({auth}) + 1))"
     u = f"regexp_replace({u}, '#.*$', '')"
-    u = f"regexp_replace({u}, '^(https://[^/:]+):443(/|$)', '\\1\\2')"
-    u = f"regexp_replace({u}, '^(http://[^/:]+):80(/|$)', '\\1\\2')"
-    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/]+)$', '\\1/')"
+    u = f"regexp_replace({u}, '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(http://[^/:?#]+):80([/?]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^([a-z][a-z0-9+.-]*://[^/?#]+)(\\?|$)', '\\1/\\2')"
     return u
 
 

@@ -181,3 +181,18 @@ def test_corpus_pipeline_sampled_stage(spark, sf_dir, tmp_path):
     # resume reproduces it byte-for-byte
     out2 = run_corpus_pipeline(spark, sf_dir, root, sample_bps=5000)
     assert {r["doc_id"] for r in out2["sampled"].collect()} == samp
+    # TRANSITIVE invalidation: changing sample_bps must recompute the
+    # downstream stats too (params propagate through the chain), not
+    # resume stats wired to the old rate
+    out3 = run_corpus_pipeline(spark, sf_dir, root, sample_bps=1000)
+    s3 = {r["doc_id"] for r in out3["sampled"].collect()}
+    assert s3 < samp
+    n3 = sum(r["n_docs"] for r in out3["corpus_stats"].collect())
+    assert n3 == len(s3) != len(samp)
+    # lineage reflects THIS run's wiring only: after an unsampled
+    # re-run on the same root the leftover sampled manifest is not
+    # reported as an active stage
+    out4 = run_corpus_pipeline(spark, sf_dir, root)
+    assert "sampled" not in out4["lineage"]
+    n4 = sum(r["n_docs"] for r in out4["corpus_stats"].collect())
+    assert n4 == len(keep)
