@@ -538,6 +538,36 @@ NGRAM_N = 2
 NGRAM_K = 25
 
 
+ANN_REGION = "alpha"
+
+
+def q_ann_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial × similarity composite: exact cosine top-k restricted to
+    documents with at least one page inside a vector region — the
+    'find similar documents FROM this geography' query.  Shape: pages
+    prune to (key, cell) before the broadcast containment join, the
+    in-region doc-id set semi-joins the embedding corpus (corpus never
+    shuffles), then the two-phase top-k tail."""
+    from hexspark.embed import ann_topk_brute
+
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    regions = ops.region_map(spark)
+    assigned = jx.get_auto(
+        pages.select("page_key", "cell"), regions, probe_col="cell"
+    ).filter(F.col("region") == ANN_REGION)
+    # page_key = doc_id * COPIES + copy → integer DIV (exact, no
+    # float round-trip) recovers the document id
+    doc_ids = assigned.select(
+        F.expr(f"page_key DIV {COPIES}").alias("vec_id")
+    ).distinct()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.join(doc_ids, on="vec_id", how="leftsemi")
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_topk_brute(corpus, q, ANN_K).select("query_id", "rank", "vec_id")
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-URL canonicalization over deterministic messy variants
     (upper-cased scheme+host, fragment, default port, bare host) —
@@ -676,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "url_normalize": q_url_normalize,
         "top_ngrams": q_top_ngrams,
+        "ann_in_region": q_ann_in_region,
     }
 
 
@@ -754,4 +785,8 @@ def oracle_sql() -> dict[str, str]:
         "event_quantiles": _dd_event_quantiles(),
         "url_normalize": oracles.q_url_normalize(COPIES, PAGE_RES),
         "top_ngrams": oracles.q_top_ngrams(NGRAM_N, NGRAM_K),
+        "ann_in_region": oracles.q_ann_in_region(
+            ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES,
+            ANN_REGION, ANN_K, ANN_QUERIES,
+        ),
     }

@@ -548,3 +548,48 @@ def q_top_ngrams(n: int, k: int) -> str:
     from .text import dd_top_ngrams
 
     return dd_top_ngrams(n, k)
+
+
+def q_ann_in_region(
+    regions: dict, region_res: int, copies: int, page_res: int,
+    region: str, k: int, n_queries: int,
+) -> str:
+    """Oracle for the spatial × similarity composite: corpus = vectors
+    of documents with ≥1 page inside ``region``; exact cosine top-k
+    with the same round+tie-break ranking as the engine."""
+    rc = dd_region_cells_cte(regions, region_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        rcells AS ({rc}),
+        docs_in AS (
+            SELECT DISTINCT (p.page_key // {copies}) AS vec_id
+            FROM pages p
+            JOIN rcells r ON r.cell = {synth.dd_to_parent('p.cell', region_res)}
+            WHERE r.region = '{region}'
+        ),
+        corpus AS (
+            SELECT e.* FROM embeddings e
+            WHERE e.vec_id IN (SELECT vec_id FROM docs_in)
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(
+                     list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))),
+                     6
+                   ) AS sim
+            FROM corpus c, q
+        )
+        SELECT query_id, rank, vec_id FROM (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
