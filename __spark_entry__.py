@@ -516,6 +516,13 @@ def _dd_event_quantiles() -> str:
     return dd_event_value_quantiles()
 
 
+def _dd_cap_per_domain() -> str:
+    from hexspark.pages import dd_pages_cte
+    from hexspark.sample import dd_cap_per_domain
+
+    return dd_cap_per_domain(dd_pages_cte(COPIES, PAGE_RES), DOMAIN_CAP_K)
+
+
 def _setops_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Spark twin of oracles.dd_setops_ab_srcs: the shared
     overlapping-sets fixture (setops.synth_overlapping_sets) built
@@ -539,6 +546,26 @@ NGRAM_K = 25
 
 
 ANN_REGION = "alpha"
+DOMAIN_CAP_K = 2
+TFIDF_K = 10
+
+
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition control: at most K pages per domain, deterministic
+    lowest-draw selection, two-phase top-k (never one reducer per
+    mega-domain)."""
+    from hexspark.sample import cap_per_domain
+
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    return cap_per_domain(pages, k=DOMAIN_CAP_K)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinguishing terms by exact-integer linear
+    tf-idf (explode → combinable counts → broadcast df → two-phase
+    top-k)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.tfidf_top_terms(docs, k=TFIDF_K)
 
 
 def q_ann_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "top_ngrams": q_top_ngrams,
         "ann_in_region": q_ann_in_region,
+        "cap_per_domain": q_cap_per_domain,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -789,4 +818,6 @@ def oracle_sql() -> dict[str, str]:
             ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES,
             ANN_REGION, ANN_K, ANN_QUERIES,
         ),
+        "cap_per_domain": _dd_cap_per_domain(),
+        "tfidf_terms": tx.dd_tfidf_top_terms(TFIDF_K),
     }

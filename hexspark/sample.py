@@ -128,3 +128,51 @@ def train_test_split(
     test split would be exactly the sample's low-draw rows)."""
     draw = sample_hash(F.col(key_col), salt)
     return df.filter(draw >= test_bps), df.filter(draw < test_bps)
+
+
+def cap_per_domain(
+    pages: DataFrame,
+    k: int,
+    key_col: str = "page_key",
+    url_col: str = "url",
+) -> DataFrame:
+    """Repetition control: keep at most ``k`` pages per domain —
+    the standard guard against a single crawl domain dominating the
+    corpus.  Selection is deterministic and layout-independent: the
+    kept pages are the ``k`` lowest key-hash draws (salt 2 — composes
+    with sampling/splitting, see :func:`sample_hash`), key tie-break.
+
+    Scale shape: two-phase per-key top-k (hexspark.topk) keyed on the
+    domain, so a mega-domain's pages never funnel into one reducer the
+    way a ``row_number().over(partitionBy(domain))`` window would.
+    Returns (domain, rank, key)."""
+    from .text import domain_of
+    from .topk import topk_per_key
+
+    df = pages.withColumn("domain", domain_of(F.col(url_col)))
+    return topk_per_key(
+        df,
+        keys=["domain"],
+        order=[sample_hash(F.col(key_col), salt=2), F.col(key_col)],
+        payload=[key_col],
+        k=k,
+    )
+
+
+def dd_cap_per_domain(pages_cte: str, k: int, key: str = "page_key") -> str:
+    """DuckDB twin of :func:`cap_per_domain` (ROW_NUMBER form — valid
+    as an oracle, wrong as the engine plan; see the two-phase note)."""
+    from .text import dd_domain_of
+
+    draw = dd_sample_hash(key, salt=2)
+    dom = dd_domain_of("url")
+    return f"""
+        WITH pages AS ({pages_cte})
+        SELECT domain, rank, {key} FROM (
+            SELECT {dom} AS domain, {key},
+                   ROW_NUMBER() OVER (
+                     PARTITION BY {dom} ORDER BY {draw} ASC, {key} ASC
+                   ) AS rank
+            FROM pages
+        ) WHERE rank <= {k}
+    """

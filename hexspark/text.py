@@ -241,3 +241,87 @@ def dd_top_ngrams(n: int = 2, k: int = 20) -> str:
         ORDER BY n_occurrences DESC, gram ASC
         LIMIT {k}
     """
+
+
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(
+    docs: "DataFrame",
+    k: int = 10,
+    text_col: str = "text",
+    group_col: str = "lang",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Top-``k`` distinguishing terms per group by tf-idf — the
+    vocabulary-profile pass of corpus analysis (what characterizes each
+    language/domain slice).
+
+    The score is the LINEAR tf-idf rational ``tf · N_docs · 10^6 DIV
+    df`` in exact integer arithmetic: a transcendental ``log`` idf
+    would be the textbook form but makes cross-engine hashing fragile
+    (libm vs StrictMath can differ in the last ulp right at a rounding
+    boundary) and changes only the ranking's contrast, not its order
+    for fixed tf.  At 10^12-doc scale switch the multiplier to a double
+    ``log`` — the plan shape is identical.  Shapes: one explode →
+    map-side-combinable (group, term) count; df = distinct-doc count
+    per term (term-cardinality shuffle); broadcast of the tiny df
+    relation back onto tf; two-phase top-k tail."""
+    from .topk import topk_per_key
+
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(NGRAM_WORD_RE), 0
+    )
+    terms = docs.select(
+        F.col(doc_col), F.col(group_col).alias("group"),
+        F.explode(words).alias("term"),
+    )
+    tf = terms.groupBy("group", "term").agg(F.count("*").alias("tf"))
+    df_rel = terms.groupBy("term").agg(
+        F.count_distinct(doc_col).alias("df")
+    )
+    n_docs = docs.select(doc_col).distinct().count()
+    scored = tf.join(F.broadcast(df_rel), on="term").withColumn(
+        "score",
+        F.expr(f"tf * {n_docs} * {TFIDF_SCALE} DIV df"),
+    )
+    return topk_per_key(
+        scored,
+        keys=["group"],
+        order=[-F.col("score"), F.col("term")],
+        payload=["term", "tf", "score"],
+        k=k,
+    )
+
+
+def dd_tfidf_top_terms(k: int = 10) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` over documents/lang."""
+    return f"""
+        WITH terms AS (
+            SELECT doc_id, lang AS "group", UNNEST(
+                regexp_extract_all(lower(text), '{NGRAM_WORD_RE}')
+            ) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT "group", term, COUNT(*) AS tf
+            FROM terms GROUP BY 1, 2
+        ),
+        dfr AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms GROUP BY 1
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf."group", tf.term, tf.tf,
+                   (tf.tf * n.n_docs * {TFIDF_SCALE}) // dfr.df AS score
+            FROM tf JOIN dfr USING (term), n
+        )
+        SELECT "group", rank, term, tf, score FROM (
+            SELECT "group", term, tf, score,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY "group" ORDER BY score DESC, term ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
