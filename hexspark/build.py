@@ -32,7 +32,7 @@ natural partitioning: compaction never crosses a base boundary).
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

@@ -172,7 +172,7 @@ def ivf_index(
     indistinguishable for coarse quantization (n_centroids ≪ sample).
     Pass ``fit_sample_rows=None`` to force a full-corpus fit."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     src = corpus.withColumn("__feat", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_src = src.select("__feat")

@@ -10,9 +10,9 @@ with the batch Checkpointer for derived tables.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import join as jx

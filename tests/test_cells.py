@@ -7,7 +7,6 @@ Vectors come from the reference unit tests:
 """
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from hexspark import cells as cx

@@ -2,7 +2,6 @@
 
 import json
 import os
-import shutil
 
 from pyspark.sql import functions as F
 

@@ -1,7 +1,6 @@
 """entry()/upsert semantics, custom compactor trait, iter_mut, mono-map."""
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from hexspark import build as bx
