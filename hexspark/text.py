@@ -243,7 +243,9 @@ def dd_top_ngrams(n: int = 2, k: int = 20) -> str:
     """
 
 
-TFIDF_SCALE = 1_000_000
+TFIDF_SCALE = 10_000
+
+_TFIDF_POOL = None  # created lazily to avoid an import cycle
 
 
 def tfidf_top_terms(
@@ -252,36 +254,57 @@ def tfidf_top_terms(
     text_col: str = "text",
     group_col: str = "lang",
     doc_col: str = "doc_id",
+    n_docs: "int | None" = None,
 ) -> "DataFrame":
     """Top-``k`` distinguishing terms per group by tf-idf — the
     vocabulary-profile pass of corpus analysis (what characterizes each
     language/domain slice).
 
-    The score is the LINEAR tf-idf rational ``tf · N_docs · 10^6 DIV
+    The score is the LINEAR tf-idf rational ``tf · N_docs · 10^4 DIV
     df`` in exact integer arithmetic: a transcendental ``log`` idf
     would be the textbook form but makes cross-engine hashing fragile
     (libm vs StrictMath can differ in the last ulp right at a rounding
     boundary) and changes only the ranking's contrast, not its order
-    for fixed tf.  At 10^12-doc scale switch the multiplier to a double
-    ``log`` — the plan shape is identical.  Shapes: one explode →
-    map-side-combinable (group, term) count; df = distinct-doc count
-    per term (term-cardinality shuffle); broadcast of the tiny df
-    relation back onto tf; two-phase top-k tail."""
+    for fixed tf.  Int64 bound: the product overflows past
+    ``tf · N_docs > 9.2e14`` — under ANSI mode (on in this engine and
+    in DuckDB) that RAISES rather than silently wrapping; past that
+    corpus scale switch to a double ``log`` idf (identical plan shape).
+
+    Shapes: ONE explode + map-side-combinable (doc, group, term) count,
+    cached (pooled persist — Catalyst has no common-subplan
+    elimination, so deriving tf and df from the raw explode would run
+    the tokenize+explode pass twice); tf and df are then
+    term-cardinality aggregates off that intermediate, joined on term
+    (AQE picks the strategy — the vocabulary is NOT forced broadcast:
+    distinct-token counts reach 10^8+ on web corpora); two-phase top-k
+    tail.  ``n_docs``: pass the corpus size when known to skip the
+    sizing count."""
+    from .cachepool import CachePool
     from .topk import topk_per_key
+
+    global _TFIDF_POOL
+    if _TFIDF_POOL is None:
+        _TFIDF_POOL = CachePool()
+    _TFIDF_POOL.new_generation()
 
     words = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(NGRAM_WORD_RE), 0
     )
-    terms = docs.select(
-        F.col(doc_col), F.col(group_col).alias("group"),
-        F.explode(words).alias("term"),
+    per_doc = _TFIDF_POOL.add(
+        docs.select(
+            F.col(doc_col), F.col(group_col).alias("group"),
+            F.explode(words).alias("term"),
+        )
+        .groupBy(doc_col, "group", "term")
+        .agg(F.count("*").alias("tf_doc"))
+        .persist()
     )
-    tf = terms.groupBy("group", "term").agg(F.count("*").alias("tf"))
-    df_rel = terms.groupBy("term").agg(
-        F.count_distinct(doc_col).alias("df")
-    )
-    n_docs = docs.select(doc_col).distinct().count()
-    scored = tf.join(F.broadcast(df_rel), on="term").withColumn(
+    tf = per_doc.groupBy("group", "term").agg(F.sum("tf_doc").alias("tf"))
+    # per_doc is distinct on (doc, term) within a doc, so df = row count
+    df_rel = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    if n_docs is None:
+        n_docs = docs.select(doc_col).distinct().count()
+    scored = tf.join(df_rel, on="term").withColumn(
         "score",
         F.expr(f"tf * {n_docs} * {TFIDF_SCALE} DIV df"),
     )
