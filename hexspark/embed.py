@@ -102,7 +102,19 @@ def dd_ann_topk_brute(k: int, n_queries: int) -> str:
     """
 
 
-def _footer_row_count(df: DataFrame) -> Optional[int]:
+# analyzed-plan nodes that can never MULTIPLY rows above a file scan.
+# An ALLOWLIST, not a blocklist: an operator we have never heard of
+# (new Spark version, exotic rewrite) must fail SAFE to count(), not
+# slip through and turn the footer count into an under-estimate.
+_FOOTER_SAFE_NODES = (
+    "Relation", "Project", "Filter", "Sort", "Repartition",
+    "SubqueryAlias", "ResolvedHint",
+)
+# nodes that also never DROP rows — the exact-count subset (no Filter)
+_FOOTER_EXACT_NODES = tuple(n for n in _FOOTER_SAFE_NODES if n != "Filter")
+
+
+def _footer_row_count(df: DataFrame, exact: bool = False) -> Optional[int]:
     """Row count from Parquet footer metadata when ``df`` scans Parquet
     files — zero Spark jobs, driver-side metadata reads only (the same
     pattern the Checkpointer uses for per-partition metrics).  Returns
@@ -113,25 +125,24 @@ def _footer_row_count(df: DataFrame) -> Optional[int]:
     FILES' rows, so with filters above the scan this is an UPPER bound
     on ``df.count()`` — callers using it to size a sample fraction get
     a fraction that is at most too small, never too large (the bounded-
-    cost property that matters)."""
+    cost property that matters).  Callers that need the count to EQUAL
+    ``df.count()`` (e.g. tf-idf's N) pass ``exact=True``, which also
+    rejects row-dropping nodes (Filter)."""
+    import re
+
     import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
+    allowed = _FOOTER_EXACT_NODES if exact else _FOOTER_SAFE_NODES
     try:
-        # footer counts are only an upper bound for plans that DROP
-        # rows (filters); a row-MULTIPLYING plan (join fan-out,
-        # explode) would make them an UNDER-estimate and the sized
-        # sample fraction would oversample — exactly the unbounded-fit
-        # cost this path exists to prevent.  Reject any plan whose
-        # analyzed tree contains a multiplying/combining operator.
         plan = df._jdf.queryExecution().analyzed().toString()
-        if any(op in plan for op in (
-            "Join", "Generate", "Union", "Expand", "Aggregate",
-            "Window", "Sample", "GlobalLimit", "MapInPandas",
-            "MapInArrow", "FlatMapGroupsInPandas",
-            "FlatMapCoGroupsInPandas", "MapPartitions",
-        )):
-            return None
+        for line in plan.splitlines():
+            node = re.sub(r"^[\s:+\-]*", "", line)
+            if not node:
+                continue
+            m = re.match(r"[A-Za-z]+", node)
+            if m is None or not m.group(0).startswith(allowed):
+                return None
         files = df.inputFiles()
     except Exception:
         return None

@@ -143,19 +143,27 @@ def select_keepers(
     member passes — filtering after canonical min-id assignment would
     drop a whole cluster whenever its lowest-id copy happened to be the
     low-quality one.  ``feats`` needs (doc_id, quality, ...); ``clusters``
-    is the (id, cluster) output of :func:`hexspark.dedup.dup_clusters`."""
-    from pyspark.sql import Window
+    is the (id, cluster) output of :func:`hexspark.dedup.dup_clusters`.
 
+    Shape: ``groupBy(cluster).min`` + semi-join-back, NOT a
+    ``min().over(partitionBy(cluster))`` window.  A window min has no
+    map-side combine — every qualified row shuffles keyed by cluster
+    and ONE reducer sorts each cluster, and crawl dedup has
+    pathological mega-clusters (millions of copies of boilerplate)
+    that make that reducer a straggler at 100 TB.  The groupBy
+    combines map-side (a 10^8-row cluster collapses to one row per
+    map task before the shuffle), and the semi-join-back keys on
+    (doc_id, cluster) — nearly unique, so no skew regardless of
+    cluster shape; AQE broadcasts the keeper relation when it fits
+    (NOT hint-forced: at corpus scale there is ~one keeper per unique
+    document, far past broadcast size)."""
     qualified = feats.join(
         clusters.withColumnRenamed("id", "doc_id"), on="doc_id"
     ).filter(F.col("quality") >= min_quality)
-    # one shuffle on cluster id (window min), not a groupBy+join-back
-    keeper_id = F.min("doc_id").over(Window.partitionBy("cluster"))
-    return (
-        qualified.withColumn("__keeper", keeper_id)
-        .filter(F.col("doc_id") == F.col("__keeper"))
-        .drop("__keeper")
+    keeper_ids = qualified.groupBy("cluster").agg(
+        F.min("doc_id").alias("doc_id")
     )
+    return qualified.join(keeper_ids, on=["doc_id", "cluster"], how="leftsemi")
 
 
 def run_corpus_pipeline(

@@ -104,7 +104,10 @@ def dd_deterministic_sample(
 ) -> str:
     """DuckDB twin of :func:`deterministic_sample` as a full SELECT."""
     draw = dd_sample_hash(key, salt)
-    if strata_col is None:
+    # `not strata_bps` mirrors the Spark twin: strata_col with an
+    # empty/None rate map degrades to the flat rate there, while a
+    # zero-WHEN CASE here would be invalid SQL
+    if strata_col is None or not strata_bps:
         thr = str(rate_bps)
     else:
         whens = " ".join(

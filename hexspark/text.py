@@ -255,6 +255,7 @@ def tfidf_top_terms(
     group_col: str = "lang",
     doc_col: str = "doc_id",
     n_docs: "int | None" = None,
+    docs_unique: bool = True,
 ) -> "DataFrame":
     """Top-``k`` distinguishing terms per group by tf-idf — the
     vocabulary-profile pass of corpus analysis (what characterizes each
@@ -277,8 +278,17 @@ def tfidf_top_terms(
     term-cardinality aggregates off that intermediate, joined on term
     (AQE picks the strategy — the vocabulary is NOT forced broadcast:
     distinct-token counts reach 10^8+ on web corpora); two-phase top-k
-    tail.  ``n_docs``: pass the corpus size when known to skip the
-    sizing count."""
+    tail.
+
+    ``n_docs`` sizing: pass the corpus size when known.  When omitted
+    and ``docs`` is one-row-per-document (``docs_unique``, the shape of
+    every corpus table here), the count comes from Parquet footer
+    metadata when the plan is a plain file scan — ZERO Spark jobs (the
+    same bounded-sizing rule as ``embed.ivf_index``; at 10^12 docs a
+    sizing pass is itself a full corpus scan) — falling back to a
+    ``count()`` (no shuffle) for non-file plans.  Only
+    ``docs_unique=False`` (true multi-row-per-doc sources) pays the
+    ``distinct().count()`` shuffle."""
     from .cachepool import CachePool
     from .topk import topk_per_key
 
@@ -300,10 +310,26 @@ def tfidf_top_terms(
         .persist()
     )
     tf = per_doc.groupBy("group", "term").agg(F.sum("tf_doc").alias("tf"))
-    # per_doc is distinct on (doc, term) within a doc, so df = row count
-    df_rel = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    # count_distinct, NOT count(*): per_doc is keyed (doc, group, term),
+    # so a doc id appearing under two group values would double-count
+    # into df with a bare row count — the oracle twin's
+    # COUNT(DISTINCT doc_id) semantics hold for any input this way
+    df_rel = per_doc.groupBy("term").agg(
+        F.count_distinct(F.col(doc_col)).alias("df")
+    )
     if n_docs is None:
-        n_docs = docs.select(doc_col).distinct().count()
+        from .embed import _footer_row_count
+
+        if docs_unique:
+            # exact=True: an upper-bound footer count (filtered scan)
+            # is fine for SIZING a sample but would silently change
+            # tf-idf scores — only a plan whose count equals count()
+            # may skip the job
+            n_docs = _footer_row_count(docs, exact=True)
+            if n_docs is None:
+                n_docs = docs.count()
+        else:
+            n_docs = docs.select(doc_col).distinct().count()
     scored = tf.join(df_rel, on="term").withColumn(
         "score",
         F.expr(f"tf * {n_docs} * {TFIDF_SCALE} DIV df"),

@@ -90,6 +90,33 @@ def test_select_keepers_quality_floor(spark):
     assert out0 == {(1, 1), (7, 7), (9, 9)}
 
 
+def test_select_keepers_mega_cluster_plan(spark):
+    """Planted mega-cluster (one cluster ≫ all others, the boilerplate
+    pathology of crawl dedup): keeper selection must aggregate with a
+    map-side partial min — never a window over partitionBy(cluster),
+    whose single per-cluster reducer sort is the 100-TB straggler."""
+    from hexspark.pipeline import select_keepers
+
+    n = 5000
+    feats = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(50.0).alias("quality")
+    )
+    clusters = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") < n - 100, F.lit(0))
+        .otherwise(F.col("id")).cast("long").alias("cluster"),
+    )
+    out = select_keepers(feats, clusters, 0.0)
+    rows = {(r["doc_id"], r["cluster"]) for r in out.collect()}
+    assert (0, 0) in rows and len(rows) == 101
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_min" in plan, plan[:3000]
+
+
 def test_pipeline_bucketed_tiles_no_exchange(spark, sf_dir, tmp_path):
     """bucket_tiles: the pages_tiled stage materializes hash-bucketed on
     the tile prefix, the downstream rollup's ONLY shuffle is the final

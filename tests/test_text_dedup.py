@@ -413,6 +413,32 @@ def test_footer_row_count(spark, sf_dir):
     assert _footer_row_count(
         emb.select(F.explode(F.col("embedding")).alias("x"))
     ) is None
+    # exact mode (tf-idf's N): a filtered scan's footer total is an
+    # UPPER bound, not the count — must refuse and fall back to count()
+    assert _footer_row_count(emb.filter(F.col("vec_id") < 10), exact=True) is None
+    assert _footer_row_count(emb, exact=True) == n
+    assert _footer_row_count(emb.select("vec_id"), exact=True) == n
+
+
+def test_tfidf_footer_sizing_no_distinct_job(spark, sf_dir):
+    """tfidf_top_terms' default n_docs sizing must come from Parquet
+    footers on a plain file scan (zero sizing jobs — at 10^12 docs a
+    distinct().count() is itself a corpus pass), and the result must
+    match an explicitly passed exact n_docs."""
+    from hexspark import text as tx
+    from hexspark.embed import _footer_row_count
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert _footer_row_count(docs, exact=True) == n
+    got_default = sorted(
+        tuple(r) for r in tx.tfidf_top_terms(docs, k=3).collect()
+    )
+    got_explicit = sorted(
+        tuple(r) for r in tx.tfidf_top_terms(docs, k=3, n_docs=n).collect()
+    )
+    assert got_default == got_explicit and got_default
 
 
 def test_codec_probe_and_real_kernels(monkeypatch):
