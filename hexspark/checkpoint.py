@@ -213,6 +213,27 @@ class Checkpointer:
         self._fs.move(tmp, mpath)  # atomic on local/HDFS; copy+delete on S3
         return self.spark.read.parquet(self._spark_path(name))
 
+    def _register_bucketed(
+        self, tbl: str, loc: str, bucket_col: str, n_buckets: int
+    ) -> DataFrame:
+        """Re-create the bucketed-table catalog entry over EXISTING
+        stage files — the cross-driver-restart resume path: the
+        in-memory catalog died with the old session, the external data
+        did not.  Spark encodes the bucket id in each file name at
+        write time, so a table re-registered with the same CLUSTERED BY
+        spec scans the old files ``Bucketed: true`` (asserted in
+        tests/test_checkpoint_storage.py)."""
+        schema = self.spark.read.parquet(loc).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE `{tbl}` ({cols}) USING PARQUET"
+            f" CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`)"
+            f" INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+        return self.spark.table(tbl)
+
     def stage_bucketed(
         self,
         name: str,
@@ -232,17 +253,60 @@ class Checkpointer:
         work dirs are per-pipeline, so a bare stage name would let two
         pipelines (or one resumed after another ran) silently overwrite
         and then read back each other's rows.  The manifest (same
-        schema as parquet stages, plus bucket metadata and the table
-        name) still lives under the checkpoint root, with per-file
-        metrics read from the table's parquet footers."""
+        schema as parquet stages, plus bucket metadata, the table name
+        and data location) still lives under the checkpoint root, with
+        per-file metrics read from the table's parquet footers.
+
+        The table is EXTERNAL with its data under the checkpoint root
+        (``<root>/<name>/data``), never managed-in-warehouse: the
+        default in-memory catalog dies with the driver while the files
+        persist, so a managed table would make a cross-PROCESS resume —
+        the Checkpointer's whole purpose — see ``tableExists()=False``,
+        recompute, and then crash on the leftover warehouse location
+        (``mode('overwrite')`` only applies to catalog-registered
+        tables).  On resume without a live registration the bucket spec
+        is re-created over the existing files (bucket ids ride the
+        Spark file-name encoding, so a re-registered table still scans
+        ``Bucketed: true``)."""
         _, mpath = self._paths(name)
         tbl = f"{name}_{self._root_digest()}"
-        if self._resume_ok(name, inputs, params) and self.spark.catalog.tableExists(tbl):
-            return self.spark.table(tbl)
+        loc = self._spark_path(name) + "/data"
+        man = self.manifest(name)
+        if (
+            self._resume_ok(name, inputs, params)
+            and man is not None
+            and man.get("bucket_col") == bucket_col
+            and man.get("n_buckets") == n_buckets
+        ):
+            if self.spark.catalog.tableExists(tbl):
+                return self.spark.table(tbl)
+            if man.get("location"):
+                return self._register_bucketed(
+                    tbl, man["location"], bucket_col, n_buckets
+                )
+            # legacy managed-table manifest (no recorded location): the
+            # registration died with its session and the data lives in
+            # that session's warehouse — recompute below (the stale
+            # warehouse dir is cleared first)
         t0 = time.time()
         from .storage import write_bucketed
 
-        write_bucketed(fn(), tbl, bucket_col, n_buckets)
+        # clear any dead registration plus leftover data at BOTH
+        # candidate locations: the external path we are about to write,
+        # and a legacy managed-warehouse dir whose mere existence makes
+        # saveAsTable raise LOCATION_ALREADY_EXISTS
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        for stale in (loc, warehouse.rstrip("/") + "/" + tbl.lower()):
+            try:
+                sfs, spath = _fs_for(stale)
+                if sfs.get_file_info(spath).type != pafs.FileType.NotFound:
+                    sfs.delete_dir(spath)
+            except Exception:
+                pass  # unreachable scheme / already gone — write decides
+        write_bucketed(fn(), tbl, bucket_col, n_buckets, path=loc)
         out = self.spark.table(tbl)
         parts = _file_metrics(out.inputFiles())
         man = {
@@ -257,6 +321,7 @@ class Checkpointer:
             "partitions": parts,
             "quarantined_rows": None,
             "table": tbl,
+            "location": loc,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

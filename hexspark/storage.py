@@ -82,6 +82,7 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 64,
     sort: bool = True,
+    path: "str | None" = None,
 ) -> None:
     """Bucketed parquet table (``bucketBy`` + ``saveAsTable``): rows are
     hash-bucketed on ``bucket_col`` at WRITE time, so every later join
@@ -90,10 +91,19 @@ def write_bucketed(
     table is joined on the same key (tile / cell prefix / region) by
     many downstream queries.  Pair with ``sort=True`` for bucket-local
     ordering (merge-join without a Sort).  Bucket count should be
-    sized so one bucket ≈ one task's worth of data at the target SF."""
+    sized so one bucket ≈ one task's worth of data at the target SF.
+
+    ``path`` makes the table EXTERNAL at that location instead of
+    managed-in-warehouse: the data's lifetime is then decoupled from
+    the catalog entry (an in-memory catalog dies with the driver; the
+    files must not), and a later session can re-register the same
+    bucket spec over the existing files — the property
+    ``Checkpointer.stage_bucketed`` resumes through."""
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

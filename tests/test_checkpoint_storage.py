@@ -203,6 +203,61 @@ def test_bucketed_join_plans_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bt_weights")
 
 
+def test_stage_bucketed_survives_driver_restart(spark, tmp_path):
+    """Cross-process re-entrance of stage_bucketed: the in-memory
+    catalog registration dies with the driver while the external stage
+    files persist.  Simulated by DROPping the table (external → files
+    untouched): the resumed call must re-register the bucket spec over
+    the existing files WITHOUT recomputing, and the re-registered table
+    must still scan Bucketed: true with no pre-aggregate Exchange."""
+    import re
+
+    from hexspark.checkpoint import Checkpointer
+
+    ck = Checkpointer(spark, str(tmp_path / "bwork"))
+    src = spark.range(5000).select(
+        F.col("id").alias("page_key"), (F.col("id") % 64).alias("tile")
+    )
+    calls = []
+
+    def build():
+        calls.append(1)
+        return src
+
+    out1 = ck.stage_bucketed("tiled", build, bucket_col="tile", n_buckets=8)
+    rows1 = sorted((r["page_key"], r["tile"]) for r in out1.collect())
+    man1 = ck.manifest("tiled")
+    tbl = man1["table"]
+    assert man1["location"].endswith("/tiled/data")
+    assert calls == [1]
+    try:
+        # catalog death: external table → DROP removes only the entry
+        spark.sql(f"DROP TABLE `{tbl}`")
+        assert not spark.catalog.tableExists(tbl)
+        out2 = ck.stage_bucketed("tiled", build, bucket_col="tile", n_buckets=8)
+        assert calls == [1], "resume must not recompute"
+        assert sorted((r["page_key"], r["tile"]) for r in out2.collect()) == rows1
+        assert ck.manifest("tiled")["finished_at"] == man1["finished_at"]
+        # the re-registered spec still rides the bucket layout
+        agg = out2.groupBy("tile").agg(F.count("*").alias("n"))
+        agg.collect()
+        plan = (
+            agg._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert not re.search(r"Exchange hashpartitioning\(tile", plan), plan[:2000]
+        # changed params → recompute over the same location (overwrite
+        # must not trip on the existing external dir)
+        out3 = ck.stage_bucketed(
+            "tiled", build, bucket_col="tile", n_buckets=8, params={"v": 2}
+        )
+        assert calls == [1, 1]
+        assert sorted((r["page_key"], r["tile"]) for r in out3.collect()) == rows1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+
+
 def test_streaming_event_windows(spark, tmp_path):
     """event_window_stats is batch≡stream: the same F.window rollup
     over a watermarked file stream (append mode emits closed windows)
