@@ -330,6 +330,80 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING, bits=32)
 
 
+def q_simhash_pairs64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width (64-bit) simhash pair mining: 32-bit signatures
+    saturate with birthday collisions around 10^5 docs (on this corpus:
+    1192 32-bit pairs vs 21 64-bit — the excess is collision noise), so
+    64 is the Manku crawl-scale width.  Bits 60..63 ride a second
+    domain-separated md5 draw and bit 63 packs as the BIGINT sign bit —
+    both engines share the two's-complement encoding, so the pipeline
+    stays hash-gated end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING, bits=64)
+
+
+INCR_SPLIT = 350
+INCR_MIN_QUALITY = 30
+
+
+def q_incremental_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest equivalence, oracle-gated: the corpus is
+    split (doc_id < {split} = base, rest = append); the append is
+    deduped via DELTA pair mining only (old signatures read as-is,
+    block bucket join probed with the delta's blocks — new↔new and
+    new↔old pairs, never old↔old recompute), then global clustering +
+    qualified-min keeper selection.  The DuckDB oracle is one run over
+    the UNION — the equivalence the incremental path must preserve.
+    The checkpointed form of the same flow is
+    :func:`hexspark.pipeline.run_corpus_append` (tested in
+    tests/test_pipeline.py)."""
+    from hexspark.pipeline import select_keepers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    new = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    sigs_old = dd.simhash(base, bits=64)
+    pairs_old = dd.simhash_pairs_from_sigs(
+        sigs_old, max_hamming=SIMHASH_MAX_HAMMING, bits=64
+    )
+    sigs_new = dd.simhash(new, bits=64)
+    delta = dd.simhash_pairs_from_sigs(
+        sigs_old.unionByName(sigs_new),
+        max_hamming=SIMHASH_MAX_HAMMING, bits=64, delta=sigs_new,
+    )
+    clusters = dd.dup_clusters(
+        pairs_old.unionByName(delta), all_ids=docs.select("doc_id")
+    )
+    feats = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+    keep = select_keepers(feats, clusters, INCR_MIN_QUALITY)
+    return keep.select("doc_id", "cluster", "quality")
+
+
+def _dd_incremental_keepers() -> str:
+    """Union-run truth for :func:`q_incremental_keepers`: 64-bit pairs
+    over ALL documents → transitive closure → min qualified id per
+    cluster."""
+    clus = dd.dd_dup_clusters(
+        dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 64),
+        include_all_from="doc_id AS id FROM documents",
+    )
+    q = tx.dd_quality_score("text")
+    return f"""
+        WITH clus AS (SELECT * FROM ({clus})),
+        qual AS (
+            SELECT d.doc_id, c.cluster, {q} AS quality
+            FROM documents d JOIN clus c ON d.doc_id = c.id
+            WHERE {q} >= {INCR_MIN_QUALITY}
+        ),
+        k AS (SELECT cluster, MIN(doc_id) AS doc_id FROM qual GROUP BY 1)
+        SELECT qual.doc_id, qual.cluster, qual.quality
+        FROM qual JOIN k
+          ON qual.cluster = k.cluster AND qual.doc_id = k.doc_id
+    """
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the simhash near-dup pairs → keeper
     assignment (cluster = min doc id in component, singletons included)
@@ -719,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs64": q_simhash_pairs64,
+        "incremental_keepers": q_incremental_keepers,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -777,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dd.dd_lsh_candidates(bands=4, rows_per_band=4, n=3),
         "simhash": dd.dd_simhash(bits=32),
         "simhash_pairs": dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 32),
+        "simhash_pairs64": dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 64),
+        "incremental_keepers": _dd_incremental_keepers(),
         "dup_clusters": dd.dd_dup_clusters(
             dd.dd_simhash_pairs(SIMHASH_MAX_HAMMING, 32),
             include_all_from="doc_id AS id FROM documents",

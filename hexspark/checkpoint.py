@@ -213,6 +213,19 @@ class Checkpointer:
         self._fs.move(tmp, mpath)  # atomic on local/HDFS; copy+delete on S3
         return self.spark.read.parquet(self._spark_path(name))
 
+    def load(self, name: str) -> DataFrame:
+        """Read back a COMPLETED parquet stage without offering a
+        compute function — the cross-run consumption path (incremental
+        appends read the base run's signature/pair tables this way).
+        Raises if the stage never completed: silently recomputing here
+        would defeat the caller's no-recompute contract."""
+        if not self.is_complete(name):
+            raise ValueError(
+                f"stage {name!r} has no complete manifest under"
+                f" {self.root!r} — run its pipeline first"
+            )
+        return self.spark.read.parquet(self._spark_path(name))
+
     def _register_bucketed(
         self, tbl: str, loc: str, bucket_col: str, n_buckets: int
     ) -> DataFrame:

@@ -41,6 +41,20 @@ def dd_h64(s: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# second independent 60-bit draw for signature bits past _h64's width:
+# md5 over a domain-separated ("b:"-prefixed) input.  A 64-bit simhash
+# needs 64 independent token-hash bits, and one parse of 16 hex chars
+# would overflow signed BIGINT (the cross-engine-exact type), so bits
+# 60..63 come from this second hash instead.
+def _h64b(s: Column) -> Column:
+    return _h64(F.concat(F.lit("b:"), s))
+
+
+def dd_h64b(s: str) -> str:
+    """DuckDB twin of :func:`_h64b`."""
+    return dd_h64(f"('b:' || {s})")
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles from normalized text."""
     words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"[ \t\n\x0B\f\r]+", " "), " ")
@@ -304,47 +318,72 @@ def dd_lsh_candidates(bands: int = 4, rows_per_band: int = 4, n: int = 3) -> str
 # ---------------------------------------------------------------------------
 
 def dd_simhash(bits: int = 32) -> str:
-    """DuckDB twin of :func:`simhash`."""
+    """DuckDB twin of :func:`simhash` (same two-hash bit sourcing and
+    sign-bit packing for ``bits > 60`` — see the engine docstring)."""
     h = dd_h64("tok")
+    h2 = dd_h64b("tok")
     bit_sums = ", ".join(
-        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        f"SUM(CASE WHEN (({'h' if j < 60 else 'h2'} >> {j if j < 60 else j - 60}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{j}"
         for j in range(bits)
     )
-    pack = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    pack = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j if j < 63 else -(1 << 63)} ELSE 0 END)"
+        for j in range(bits)
+    )
+    hcols = f"{h} AS h" if bits <= 60 else f"{h} AS h, {h2} AS h2"
     return f"""
         WITH toks AS (
             SELECT doc_id AS id,
                    UNNEST(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) AS tok
             FROM documents
         ),
-        hashed AS (SELECT id, {h} AS h FROM toks),
+        hashed AS (SELECT id, {hcols} FROM toks),
         bitsums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
         SELECT id, CAST({pack} AS BIGINT) AS simhash FROM bitsums
     """
 
 
 def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash: per-token 60-bit md5 hash; signature bit j is the sign
+    """SimHash: per-token md5-derived hash; signature bit j is the sign
     of the majority over tokens of bit j.  Explode + groupBy with one
-    conditional-sum per bit (all JVM-side)."""
+    conditional-sum per bit (all JVM-side).
+
+    ``bits`` up to 64 — the production width (32 bits saturates with
+    birthday collisions around 10^5 docs; 64 is the Manku et al.
+    crawl-scale width).  The per-token hash :func:`_h64` carries 60
+    independent bits (15 md5 hex chars — the widest BIGINT-exact
+    parse), so bits 60..63 are sourced from a second domain-separated
+    md5 draw (:func:`_h64b`); bit 63 packs as the BIGINT sign bit
+    (adding ``-2^63`` — the two's-complement encoding both engines
+    share, so the signature stays cross-engine hash-exact)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in 1..64, got {bits}")
     toks = docs.select(
         F.col(key_col).alias("id"),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+", " "), " ")
         ).alias("tok"),
     )
-    h = _h64(F.col("tok"))
-    toks = toks.withColumn("h", h)
+    toks = toks.withColumn("h", _h64(F.col("tok")))
+    if bits > 60:
+        toks = toks.withColumn("h2", _h64b(F.col("tok")))
     aggs = [
         F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned(
+                    F.col("h" if j < 60 else "h2"), j if j < 60 else j - 60
+                ).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     summed = toks.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(bit_val).cast("long")).otherwise(0)
     return summed.select("id", sig.alias("simhash"))
 
 
@@ -367,33 +406,72 @@ def simhash_pairs(
     value — no all-pairs scan anywhere; a degenerate block (e.g. all
     zeros across the corpus) is an AQE-skew-split equi-join, the same
     guard class as the LSH band join."""
+    sig = simhash(docs, text_col=text_col, key_col=key_col, bits=bits)
+    return simhash_pairs_from_sigs(sig, max_hamming=max_hamming, bits=bits)
+
+
+def _simhash_blocks(sigs: DataFrame, max_hamming: int, bits: int) -> DataFrame:
+    """(id, simhash, b, v): one row per Manku block of each signature —
+    the bucket-join key relation."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
-    sig = simhash(docs, text_col=text_col, key_col=key_col, bits=bits)
     block_vals = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), b * width)
         .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
         for b in range(n_blocks)
     ])
-    blk = sig.select(
+    return sigs.select(
         "id", "simhash", F.posexplode(block_vals).alias("b", "v")
     )
-    a, b = blk.alias("a"), blk.alias("b")
-    cand = (
-        a.join(
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    delta: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pair mining over an EXISTING (id, simhash) signature table —
+    the checkpointed-signature form: a pipeline that persists its
+    signatures never recomputes them to mine pairs, and an incremental
+    ingest can mine only the pairs that touch its appended documents.
+
+    ``delta=None``: all pairs in ``sigs`` (self-join, a < b).
+    ``delta=<appended signatures>`` (must be a subset of ``sigs``):
+    exactly the pairs with AT LEAST ONE side in the delta — new↔new
+    plus new↔old, never old↔old (those were mined when the old docs
+    were ingested).  Same block bucket equi-join either way; the delta
+    side is block-bucketed the same, so the join's probe relation is
+    delta-scale, not corpus-scale."""
+    blk = _simhash_blocks(sigs, max_hamming, bits)
+    if delta is None:
+        a, b = blk.alias("a"), blk.alias("b")
+        cand = a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
             & (F.col("a.v") == F.col("b.v"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("ida"),
-            F.col("b.id").alias("idb"),
-            F.col("a.simhash").alias("__sa"),
-            F.col("b.simhash").alias("__sb"),
+    else:
+        dblk = _simhash_blocks(delta, max_hamming, bits)
+        # all-side ⋈ delta-side, normalized to ida < idb afterwards:
+        # a new↔new pair matches in both orientations and a new↔old in
+        # one — dropDuplicates below canonicalizes either way
+        a, b = blk.alias("a"), dblk.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") != F.col("b.id")),
         )
-        .dropDuplicates(["ida", "idb"])
-    )
+    cand = cand.select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("ida"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("idb"),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("a.simhash"))
+        .otherwise(F.col("b.simhash")).alias("__sa"),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("b.simhash"))
+        .otherwise(F.col("a.simhash")).alias("__sb"),
+    ).dropDuplicates(["ida", "idb"])
     hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
     return (
         cand.withColumn("hamming", hamming.cast("long"))

@@ -166,6 +166,48 @@ def select_keepers(
     return qualified.join(keeper_ids, on=["doc_id", "cluster"], how="leftsemi")
 
 
+# minhash miner knobs (fixed here so base and append runs can never
+# silently disagree on the signature scheme)
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+MINHASH_SHINGLE_N = 3
+
+
+def _doc_features(docs: DataFrame) -> DataFrame:
+    """The per-document feature projection (shared by base + append
+    runs — BOTH must derive features with the same formulas or the
+    keeper quality floor would mean different things per generation)."""
+    from . import text as tx
+
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("toks"),
+        tx.lang_id(F.col("text")).alias("lang_guess"),
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _miner_params(
+    pair_miner: str, bits: int, max_hamming: int
+) -> "tuple[dict, dict]":
+    """(signature-stage params, pair-stage params) for a miner config —
+    recorded transitively so any knob change invalidates downstream."""
+    if pair_miner == "simhash":
+        p_sig = {"pair_miner": "simhash", "bits": bits}
+        p_pairs = {**p_sig, "max_hamming": max_hamming}
+    elif pair_miner == "minhash":
+        p_sig = {
+            "pair_miner": "minhash",
+            "num_hashes": MINHASH_BANDS * MINHASH_ROWS,
+            "shingle_n": MINHASH_SHINGLE_N,
+        }
+        p_pairs = {**p_sig, "bands": MINHASH_BANDS, "rows_per_band": MINHASH_ROWS}
+    else:
+        raise ValueError(f"unknown pair_miner {pair_miner!r}")
+    return p_sig, p_pairs
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -174,6 +216,9 @@ def run_corpus_pipeline(
     min_quality: float = 0.0,
     sample_bps: int = 0,
     strata_bps: "dict[str, int] | None" = None,
+    bits: int = 64,
+    pair_miner: str = "simhash",
+    docs: "DataFrame | None" = None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the training-corpus curation pipeline end to end
     — the dedup analogue of :func:`run_pipeline`, every stage
@@ -182,47 +227,63 @@ def run_corpus_pipeline(
     1. ``doc_features``  — tokens / lang / quality / fingerprint (raw
        ``text`` deliberately NOT checkpointed — no downstream stage
        reads it, and it is the heaviest column of the source table)
-    2. ``dup_pairs``     — simhash Hamming-budget near-dup pairs
-    3. ``dup_clusters``  — connected components → cluster/keeper ids
-    4. ``keepers``       — one doc per cluster: the min-id member
+    2. ``signatures``    — the near-dup signature table (64-bit simhash
+       by default; ``pair_miner='minhash'`` swaps in MinHash signatures,
+       which catch token re-orderings simhash misses).  Checkpointed in
+       its own right: pair mining never recomputes signatures, and an
+       incremental append (:func:`run_corpus_append`) bucket-joins its
+       new documents against THIS table instead of re-signing the corpus
+    3. ``dup_pairs``     — near-dup pairs mined from the signatures
+       (simhash: Hamming-budget block join; minhash: banded LSH buckets)
+    4. ``dup_clusters``  — connected components → cluster/keeper ids
+    5. ``keepers``       — one doc per cluster: the min-id member
        AMONG those above the quality floor (a cluster survives as long
        as ANY member passes the floor — filtering after canonical
        min-id assignment would drop a whole cluster whenever its
        lowest-id copy happened to be the low-quality one)
-    5. ``sampled``       — optional (``sample_bps > 0``): deterministic
+    6. ``sampled``       — optional (``sample_bps > 0``): deterministic
        per-stratum downsample of the keepers (hexspark.sample — the
        language-rebalancing step; layout-independent, so a resumed or
        re-run pipeline reproduces the identical corpus)
-    6. ``corpus_stats``  — per-language keeper counts + token totals
+    7. ``corpus_stats``  — per-language keeper counts + token totals
        (with the pre-dedup counts for the reduction ratio)
-    """
+
+    ``bits=64`` is the production simhash width: 32-bit signatures
+    saturate with birthday collisions around 10^5 documents (measured
+    on the synthetic corpus: 1192 32-bit pairs vs 21 64-bit pairs over
+    500 docs — the excess is pure collision noise).  ``docs`` overrides
+    the default ``{sf_dir}/documents.parquet`` read (tests and append
+    equivalence use a filtered slice)."""
     from . import dedup as ddp
-    from . import text as tx
 
     ck = Checkpointer(spark, work_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # transitive params (see run_pipeline): a max_hamming change must
-    # invalidate clusters/keepers/stats too, not just dup_pairs
-    p_pairs = {"max_hamming": max_hamming}
+    # transitive params (see run_pipeline): a max_hamming / bits /
+    # miner change must invalidate clusters/keepers/stats too
+    p_sig, p_pairs = _miner_params(pair_miner, bits, max_hamming)
     p_keep = {**p_pairs, "min_quality": min_quality}
     p_samp = {**p_keep, "sample_bps": sample_bps, "strata_bps": strata_bps}
 
-    feats = ck.stage(
-        "doc_features",
-        lambda: docs.select(
-            "doc_id",
-            tx.token_count(F.col("text")).alias("toks"),
-            tx.lang_id(F.col("text")).alias("lang_guess"),
-            tx.quality_score(F.col("text")).alias("quality"),
-            tx.fingerprint(F.col("text")).alias("fp"),
-        ),
-    )
+    feats = ck.stage("doc_features", lambda: _doc_features(docs))
 
+    if pair_miner == "simhash":
+        sig_fn = lambda: ddp.simhash(docs, bits=bits)  # noqa: E731
+        pair_fn = lambda: ddp.simhash_pairs_from_sigs(  # noqa: E731
+            sigs, max_hamming=max_hamming, bits=bits
+        )
+    else:
+        sig_fn = lambda: ddp.minhash_signature(  # noqa: E731
+            docs, num_hashes=MINHASH_BANDS * MINHASH_ROWS, n=MINHASH_SHINGLE_N
+        )
+        pair_fn = lambda: ddp.lsh_candidates(  # noqa: E731
+            sigs, bands=MINHASH_BANDS, rows_per_band=MINHASH_ROWS
+        )
+
+    sigs = ck.stage("signatures", sig_fn, params=p_sig)
     pairs = ck.stage(
-        "dup_pairs",
-        lambda: ddp.simhash_pairs(docs, max_hamming=max_hamming, bits=32),
-        params=p_pairs,
+        "dup_pairs", pair_fn, inputs=["signatures"], params=p_pairs
     )
 
     clusters = ck.stage(
@@ -267,11 +328,173 @@ def run_corpus_pipeline(
         params=p_samp if sample_bps > 0 else p_keep,
     )
 
-    active = {"doc_features", "dup_pairs", "dup_clusters", "keepers",
-              "corpus_stats"} | set(out)
+    active = {"doc_features", "signatures", "dup_pairs", "dup_clusters",
+              "keepers", "corpus_stats"} | set(out)
     out.update({
         "doc_features": feats,
+        "signatures": sigs,
         "dup_pairs": pairs,
+        "dup_clusters": clusters,
+        "keepers": keepers,
+        "corpus_stats": stats,
+        "lineage": {k: v for k, v in ck.lineage().items() if k in active},  # type: ignore[dict-item]
+    })
+    return out
+
+
+def run_corpus_append(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    work_dir: str,
+    max_hamming: int = 3,
+    min_quality: float = 0.0,
+    sample_bps: int = 0,
+    strata_bps: "dict[str, int] | None" = None,
+    bits: int = 64,
+) -> dict[str, DataFrame]:
+    """Incremental corpus ingest: dedup ``new_docs`` against the
+    EXISTING corpus in ``work_dir`` without recomputing any closed
+    stage, producing keepers IDENTICAL to one
+    :func:`run_corpus_pipeline` over the union (tested + oracle-gated
+    as the ``incremental_keepers`` contract query).
+
+    What is delta-scale vs corpus-scale:
+
+    * features + signatures — computed for the NEW docs only
+      (``doc_features_a{g}`` / ``signatures_a{g}``); the old tables are
+      read back from their checkpoints, never re-derived from text.
+    * pair mining — the block bucket join probes the union signature
+      table with the DELTA's blocks only
+      (:func:`hexspark.dedup.simhash_pairs_from_sigs` with ``delta=``),
+      yielding exactly the new↔new and new↔old pairs; old↔old pairs
+      are read back from the previous generations' checkpoints.  At
+      10^12 old docs and 10^9 appended, the join moves delta-scale
+      rows against a bucketed corpus-scale build side — never
+      corpus × corpus.
+    * clustering / keepers — recomputed GLOBALLY over the (small,
+      component-scale) union pair relation: a new doc can bridge two
+      old clusters, so cluster ids cannot be stitched locally; the
+      inputs here are pair/label relations, not the corpus.
+
+    Generations auto-increment: each call finds the next free
+    ``_a{g}`` suffix, so repeated appends compose (every prior
+    generation's delta stages are unioned in).  Miner-config drift is
+    rejected: the append refuses to run if the base run's recorded
+    signature params (miner, bits) or pair params (max_hamming) differ
+    from this call's — incremental pairs mined under a different
+    scheme would be silently meaningless.  Simhash miner only (minhash
+    delta mining would follow the same shape via banded buckets)."""
+    from . import dedup as ddp
+
+    ck = Checkpointer(spark, work_dir)
+    for st in ("doc_features", "signatures", "dup_pairs"):
+        if not ck.is_complete(st):
+            raise ValueError(
+                f"run_corpus_append: base stage {st!r} incomplete under"
+                f" {work_dir!r} — run run_corpus_pipeline first"
+            )
+    p_sig, p_pairs = _miner_params("simhash", bits, max_hamming)
+    base_sig = ck.manifest("signatures").get("params")
+    base_pairs = ck.manifest("dup_pairs").get("params")
+    if base_sig != p_sig or base_pairs != p_pairs:
+        raise ValueError(
+            "run_corpus_append: miner config drift — base run recorded"
+            f" {base_sig} / {base_pairs}, append asked for"
+            f" {p_sig} / {p_pairs}"
+        )
+    p_keep = {**p_pairs, "min_quality": min_quality}
+    p_samp = {**p_keep, "sample_bps": sample_bps, "strata_bps": strata_bps}
+
+    gen = 1
+    while ck.is_complete(f"doc_features_a{gen}"):
+        gen += 1
+    prior = [""] + [f"_a{g}" for g in range(1, gen)]
+
+    def _union(base_name: str) -> DataFrame:
+        parts = [ck.load(f"{base_name}{sfx}") for sfx in prior]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    feats_new = ck.stage(
+        f"doc_features_a{gen}", lambda: _doc_features(new_docs)
+    )
+    sigs_new = ck.stage(
+        f"signatures_a{gen}",
+        lambda: ddp.simhash(new_docs, bits=bits),
+        params=p_sig,
+    )
+    sigs_all = _union("signatures").unionByName(sigs_new)
+    sig_inputs = [f"signatures{sfx}" for sfx in prior] + [f"signatures_a{gen}"]
+    pairs_delta = ck.stage(
+        f"dup_pairs_a{gen}",
+        lambda: ddp.simhash_pairs_from_sigs(
+            sigs_all, max_hamming=max_hamming, bits=bits, delta=sigs_new
+        ),
+        inputs=sig_inputs,
+        params=p_pairs,
+    )
+    pairs_all = _union("dup_pairs").unionByName(pairs_delta)
+    feats_all = _union("doc_features").unionByName(feats_new)
+    pair_inputs = [f"dup_pairs{sfx}" for sfx in prior] + [f"dup_pairs_a{gen}"]
+    clusters = ck.stage(
+        f"dup_clusters_a{gen}",
+        lambda: ddp.dup_clusters(
+            pairs_all, all_ids=feats_all.select("doc_id")
+        ),
+        inputs=pair_inputs,
+        params=p_pairs,
+    )
+    feat_inputs = [f"doc_features{sfx}" for sfx in prior] + [
+        f"doc_features_a{gen}"
+    ]
+    keepers = ck.stage(
+        f"keepers_a{gen}",
+        lambda: select_keepers(feats_all, clusters, min_quality),
+        inputs=feat_inputs + [f"dup_clusters_a{gen}"],
+        params=p_keep,
+    )
+
+    out: dict[str, DataFrame] = {}
+    final = keepers
+    stats_inputs = [f"keepers_a{gen}"]
+    if sample_bps > 0:
+        from .sample import deterministic_sample
+
+        final = ck.stage(
+            f"sampled_a{gen}",
+            lambda: deterministic_sample(
+                keepers, "doc_id", rate_bps=sample_bps,
+                strata_col="lang_guess", strata_bps=strata_bps,
+            ),
+            inputs=[f"keepers_a{gen}"],
+            params=p_samp,
+        )
+        out["sampled"] = final
+        stats_inputs = [f"sampled_a{gen}"]
+
+    stats = ck.stage(
+        f"corpus_stats_a{gen}",
+        lambda: final.groupBy("lang_guess").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_toks"),
+        ),
+        inputs=stats_inputs,
+        params=p_samp if sample_bps > 0 else p_keep,
+    )
+
+    active = set(
+        sig_inputs + pair_inputs + feat_inputs
+        + [f"dup_clusters_a{gen}", f"keepers_a{gen}", f"corpus_stats_a{gen}"]
+        + ([f"sampled_a{gen}"] if sample_bps > 0 else [])
+    )
+    out.update({
+        "gen": gen,  # type: ignore[dict-item]
+        "doc_features": feats_all,
+        "signatures": sigs_all,
+        "dup_pairs": pairs_all,
+        "dup_pairs_delta": pairs_delta,
         "dup_clusters": clusters,
         "keepers": keepers,
         "corpus_stats": stats,

@@ -90,6 +90,99 @@ def test_select_keepers_quality_floor(spark):
     assert out0 == {(1, 1), (7, 7), (9, 9)}
 
 
+def test_corpus_append_equals_union(spark, sf_dir, tmp_path):
+    """Incremental ingest: two successive run_corpus_append calls over
+    corpus slices must produce keepers IDENTICAL to one
+    run_corpus_pipeline over the union, WITHOUT recomputing any base
+    stage (signatures/pairs manifests untouched), and refuse miner
+    config drift."""
+    import pytest
+
+    from hexspark.checkpoint import Checkpointer
+    from hexspark.pipeline import run_corpus_append, run_corpus_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 300)
+    mid = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    tail = docs.filter(F.col("doc_id") >= 400)
+
+    inc_root = str(tmp_path / "inc")
+    out_base = run_corpus_pipeline(
+        spark, sf_dir, inc_root, docs=base, min_quality=30
+    )
+    sig_done = out_base["lineage"]["signatures"]["finished_at"]
+    pairs_done = out_base["lineage"]["dup_pairs"]["finished_at"]
+
+    out_a1 = run_corpus_append(spark, mid, inc_root, min_quality=30)
+    assert out_a1["gen"] == 1
+    out_a2 = run_corpus_append(spark, tail, inc_root, min_quality=30)
+    assert out_a2["gen"] == 2
+
+    ck = Checkpointer(spark, inc_root)
+    assert ck.manifest("signatures")["finished_at"] == sig_done
+    assert ck.manifest("dup_pairs")["finished_at"] == pairs_done
+
+    out_full = run_corpus_pipeline(
+        spark, sf_dir, str(tmp_path / "full"), docs=docs, min_quality=30
+    )
+    k_inc = sorted(
+        (r["doc_id"], r["cluster"]) for r in out_a2["keepers"].collect()
+    )
+    k_full = sorted(
+        (r["doc_id"], r["cluster"]) for r in out_full["keepers"].collect()
+    )
+    assert k_inc == k_full and k_inc
+    # delta mining yields only pairs touching the appended slice
+    assert all(
+        r["idb"] >= 400 for r in out_a2["dup_pairs_delta"].collect()
+    )
+    # stats roll up over the union
+    n_stats = sum(r["n_docs"] for r in out_a2["corpus_stats"].collect())
+    assert n_stats == len(k_inc)
+
+    # guard rails: miner drift and missing base both refuse
+    with pytest.raises(ValueError, match="drift"):
+        run_corpus_append(spark, tail, inc_root, max_hamming=2)
+    with pytest.raises(ValueError, match="incomplete"):
+        run_corpus_append(spark, tail, str(tmp_path / "nothing"))
+
+
+def test_corpus_pipeline_minhash_miner(spark, sf_dir, tmp_path):
+    """pair_miner='minhash': banded-LSH pairs drive the same cluster →
+    keeper chain (policy pluggability); planted exact + near dups
+    cluster, the unique doc survives, and switching miners on one work
+    dir recomputes (params invalidation)."""
+    from hexspark.pipeline import run_corpus_pipeline
+
+    s1 = ("the quick brown fox jumps over the lazy dog while the rain "
+          "falls softly on the quiet town square tonight")
+    s2 = ("meanwhile the harbor lights flicker as boats drift slowly "
+          "past the old stone pier at dusk in autumn")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}", "en"),
+            (2, f"{s1} {s2}", "en"),            # exact dup of 1
+            (3, f"{s1} extra {s2}", "en"),      # near dup (insertion)
+            (4, "completely different prose about spark query planning"
+                " catalyst shuffles and adaptive execution stages", "en"),
+        ],
+        "doc_id: long, text: string, lang: string",
+    )
+    root = str(tmp_path / "mh")
+    out = run_corpus_pipeline(
+        spark, sf_dir, root, docs=docs, pair_miner="minhash"
+    )
+    pairs = {(r["ida"], r["idb"]) for r in out["dup_pairs"].collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    keepers = sorted(r["doc_id"] for r in out["keepers"].collect())
+    assert keepers == [1, 4]
+    assert out["lineage"]["signatures"]["params"]["pair_miner"] == "minhash"
+    # same work dir, simhash miner → signature/pair stages recompute
+    out2 = run_corpus_pipeline(spark, sf_dir, root, docs=docs)
+    assert out2["lineage"]["signatures"]["params"]["pair_miner"] == "simhash"
+    assert sorted(r["doc_id"] for r in out2["keepers"].collect()) == [1, 4]
+
+
 def test_select_keepers_mega_cluster_plan(spark):
     """Planted mega-cluster (one cluster ≫ all others, the boilerplate
     pathology of crawl dedup): keeper selection must aggregate with a
