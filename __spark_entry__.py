@@ -647,13 +647,13 @@ def q_ann_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents with at least one page inside a vector region — the
     'find similar documents FROM this geography' query.  Shape: pages
     prune to (key, cell) before the broadcast containment join, the
-    in-region doc-id set BROADCAST-semi-joins the embedding corpus
-    (hint forced — the id set's size is unknown at plan time, and an
-    AQE fallback to a shuffled semi-join would silently break the
-    corpus-never-shuffles shape; for a region spanning more ids than
-    a broadcast can hold, drop the hint and accept the corpus
-    shuffle), then the two-phase top-k tail."""
-    from hexspark.embed import ann_topk_brute
+    in-region doc-id set semi-joins the embedding corpus through the
+    SIZE-PROBED switch (hexspark.embed.restrict_to_ids: the id set is
+    persisted + counted — small sets broadcast so the corpus never
+    shuffles, a region spanning more ids than a broadcast can hold
+    falls back to the shuffled semi-join instead of OOMing the
+    driver), then the two-phase top-k tail."""
+    from hexspark.embed import ann_topk_brute, restrict_to_ids
 
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     regions = ops.region_map(spark)
@@ -666,7 +666,7 @@ def q_ann_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"page_key DIV {COPIES}").alias("vec_id")
     ).distinct()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    corpus = emb.join(F.broadcast(doc_ids), on="vec_id", how="leftsemi")
+    corpus = restrict_to_ids(emb, doc_ids, on="vec_id")
     q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )

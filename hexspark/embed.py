@@ -26,6 +26,39 @@ from .cachepool import CachePool
 _DUPS_POOL = CachePool()
 
 
+_RESTRICT_POOL = CachePool()
+
+
+def restrict_to_ids(
+    corpus: DataFrame,
+    ids: DataFrame,
+    on: str = "vec_id",
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Semi-join ``corpus`` down to the rows whose ``on`` key appears
+    in ``ids``, picking the join strategy from the MEASURED id-set
+    size rather than a plan-time guess: the id set is persisted
+    (pooled) and counted — at/below ``broadcast_max_rows`` it
+    broadcast-semi-joins (the corpus never shuffles), above it the
+    hint is dropped and the semi-join shuffles both sides (AQE may
+    still broadcast if bytes allow).  This removes the footgun of a
+    FORCED broadcast of a set whose size is unknown at plan time (a
+    region spanning most of a corpus would OOM the driver), while
+    keeping the corpus-never-shuffles shape whenever it is safe.
+
+    ``ids`` should be reasonably deduplicated — the count decides the
+    strategy, so heavy duplication only errs toward the (safe)
+    shuffle branch.  The persist is pooled (hexspark.cachepool): the
+    count and the join read one materialization, and blocks from two
+    calls ago are retired."""
+    _RESTRICT_POOL.new_generation()
+    ids = _RESTRICT_POOL.add(ids.persist())
+    n = ids.count()
+    if n <= broadcast_max_rows:
+        return corpus.join(F.broadcast(ids), on=on, how="leftsemi")
+    return corpus.join(ids, on=on, how="leftsemi")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

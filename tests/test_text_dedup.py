@@ -441,6 +441,27 @@ def test_tfidf_footer_sizing_no_distinct_job(spark, sf_dir):
     assert got_default == got_explicit and got_default
 
 
+def test_restrict_to_ids_size_probe(spark, sf_dir):
+    """The spatial×ANN composite's semi-join picks its strategy from
+    the MEASURED id-set size: small sets broadcast (corpus never
+    shuffles), sets past the threshold drop the hint and take the
+    shuffled semi-join instead of force-broadcasting an unbounded
+    relation.  Both branches must return identical rows."""
+    from hexspark.embed import restrict_to_ids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    small = restrict_to_ids(emb, ids, broadcast_max_rows=1_000_000)
+    big = restrict_to_ids(emb, ids, broadcast_max_rows=1)  # forced fallback
+    a = sorted(r["vec_id"] for r in small.select("vec_id").collect())
+    b = sorted(r["vec_id"] for r in big.select("vec_id").collect())
+    assert a == b and a
+    small_plan = small._jdf.queryExecution().analyzed().toString()
+    big_plan = big._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in small_plan, small_plan[:1500]
+    assert "ResolvedHint" not in big_plan, big_plan[:1500]
+
+
 def test_codec_probe_and_real_kernels(monkeypatch):
     """The codec seam is an import probe: None in this sandbox (stub
     kernels), 'pil' when Pillow is importable — verified by injecting a
