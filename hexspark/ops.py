@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from . import build as bx
 from . import cells as cx
 from . import join as jx
+from .cachepool import CachePool
 from .geo import polyfill
+
+_PYRAMID_POOL = CachePool()
 
 # Three disjoint synthetic vector regions (lat, lon vertices).  Chosen
 # for the deterministic test/bench pipeline; production regions come
@@ -182,57 +185,82 @@ def tile_region_rollup_pretiled(
 
 
 def tile_pyramid(
-    pages: DataFrame, max_res: int, cell_col: str = "cell"
+    pages: DataFrame,
+    max_res: int,
+    cell_col: str = "cell",
+    explode_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Full zoom pyramid — (z, tile, n_pages) for every z in
-    0..``max_res`` — in ONE pages-scale shuffle plus ONE
-    tile-cardinality shuffle: pages aggregate to res-``max_res`` tiles
-    (map-side combine), then each base tile explodes to its
-    ``max_res + 1`` (z, ancestor) pairs and a single
-    ``groupBy(z, tile)`` rolls every level up at once (nesting
-    invariant: ``to_parent(to_parent(c, z+1), z) == to_parent(c, z)``,
-    so summing base counts per ancestor equals the cascaded rollup).
+    0..``max_res`` — in ONE pages-scale shuffle: pages aggregate to
+    res-``max_res`` tiles (map-side combine, persisted — pooled, see
+    hexspark.cachepool), and every coarser level derives from that
+    base, never from the pages again (nesting invariant:
+    ``to_parent(to_parent(c, z+1), z) == to_parent(c, z)``).
 
-    Why this shape and not the alternatives:
+    The rollup above the base is CARDINALITY-PROBED — the base count
+    is free (the relation is persisted and must materialize anyway,
+    and every level reuses the cache):
 
-    * one groupBy per level over ``pages`` — reshuffles the PAGE
-      relation max_res times (at 10^12 pages, max_res extra full
-      shuffles for identical output);
-    * cascaded child rollups (level z from level z+1) with per-level
-      persists — shuffles slightly fewer rows (a 7-branching geometric
-      tail) but pays max_res plan barriers: per-level codegen + job
-      submit + persist bookkeeping, measured ~2.5 s of pure warm-up on
-      a 7-level pyramid at sf0.1, and holds max_res cached relations.
+    * small pyramids (base × levels ≤ ``explode_max_rows``): each base
+      tile explodes to its (z, ancestor) pairs via ONE
+      ``transform(sequence)`` lambda and a single ``groupBy(z, tile)``
+      rolls all levels at once — one tiny shuffle, one plan, no
+      per-level barriers (measured 0.6-1.7 s vs the cascade's 4-6 s at
+      10^4-10^6 base tiles: the cascade's cost there is pure per-level
+      codegen/job-submit warm-up, not data).
+    * large pyramids: cascaded child rollups (level z from level z+1,
+      pooled persists).  When the base res is fine enough that tile
+      cardinality approaches page cardinality (20M pages → ~10M res-6
+      tiles on the uniform synthetic globe), the explode would shuffle
+      base × (max_res+1) rows with near-zero map-side combine
+      (siblings are not co-located after the base shuffle) — measured
+      2-3× SLOWER than the cascade's geometrically decaying levels
+      (21 s vs 6-10 s at sf0.1).  The cascade's shuffle volume is
+      ~base/6 extra rows total.
 
-    The explode's shuffle volume is distinct-tile count × levels —
-    bounded by SPATIAL cardinality (≤ 122·7^max_res cells exist at the
-    base res), never page count — and partial aggregation collapses it
-    per map task before the exchange.  No persist needed: the base
-    aggregate feeds exactly one downstream plan.
-
-    The ancestor list is built with ``transform(sequence(0, max_res))``
-    — ONE codegen'd lambda evaluated per level — rather than an
-    unrolled ``array(struct(0, ...), ..., struct(max_res, ...))``
-    literal: the unrolled form compiles max_res+1 copies of the
-    to_parent expression into the generated class (measured: ~1 s
-    extra first-round compile AND ~2× steady-state per-row cost at
-    sf0.1; the lambda form measured 6.6 → 0.64 s steady-state against
-    the previous cascaded-persist implementation's 4.1 s)."""
-    base = (
+    Both branches read the one cached base, so the probe never
+    re-scans pages.  The naive alternatives stay wrong at scale: one
+    groupBy per level over pages = max_res extra page-scale shuffles;
+    GROUPING SETS over derived parents = pages × levels through one
+    exchange."""
+    _PYRAMID_POOL.new_generation()
+    base = _PYRAMID_POOL.add(
         pages.groupBy(cx.to_parent(cell_col, max_res).alias("tile"))
         .agg(F.count("*").alias("n_pages"))
+        .persist()
     )
-    ancestors = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(max_res)),
-            lambda z: F.struct(
-                z.cast("long").alias("z"),
-                cx.to_parent("tile", z).alias("tile"),
-            ),
+    n_base = base.count()
+
+    if n_base * (max_res + 1) <= explode_max_rows:
+        ancestors = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(max_res)),
+                lambda z: F.struct(
+                    z.cast("long").alias("z"),
+                    cx.to_parent("tile", z).alias("tile"),
+                ),
+            )
+        ).alias("a")
+        return (
+            base.select(ancestors, "n_pages")
+            .groupBy(F.col("a.z").alias("z"), F.col("a.tile").alias("tile"))
+            .agg(F.sum("n_pages").alias("n_pages"))
         )
-    ).alias("a")
-    return (
-        base.select(ancestors, "n_pages")
-        .groupBy(F.col("a.z").alias("z"), F.col("a.tile").alias("tile"))
-        .agg(F.sum("n_pages").alias("n_pages"))
-    )
+
+    cur = base
+    levels = [
+        cur.select(F.lit(max_res).cast("long").alias("z"), "tile", "n_pages")
+    ]
+    for z in range(max_res - 1, -1, -1):
+        cur = _PYRAMID_POOL.add(
+            cur.groupBy(cx.to_parent("tile", z).alias("tile"))
+            .agg(F.sum("n_pages").alias("n_pages"))
+            .persist()
+        )
+        levels.append(
+            cur.select(F.lit(z).cast("long").alias("z"), "tile", "n_pages")
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

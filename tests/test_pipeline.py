@@ -90,6 +90,30 @@ def test_select_keepers_quality_floor(spark):
     assert out0 == {(1, 1), (7, 7), (9, 9)}
 
 
+def test_tile_pyramid_branches_agree(spark, sf_dir):
+    """tile_pyramid is cardinality-probed: the single-shuffle explode
+    rollup (small pyramids) and the cascaded child rollup (tile
+    cardinality near page cardinality) must emit identical levels."""
+    from hexspark import ops
+    from hexspark.pages import synth_pages
+
+    pages = synth_pages(spark, sf_dir, copies=2, res=12, with_html=False)
+    a = sorted(
+        tuple(r)
+        for r in ops.tile_pyramid(pages, 5, explode_max_rows=10**9).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ops.tile_pyramid(pages, 5, explode_max_rows=0).collect()
+    )
+    assert a == b and a
+    zs = {r[0] for r in a}
+    assert zs == set(range(6))
+    # every level's total equals the page count
+    total = {z: sum(r[2] for r in a if r[0] == z) for z in zs}
+    assert len(set(total.values())) == 1
+
+
 def test_corpus_append_equals_union(spark, sf_dir, tmp_path):
     """Incremental ingest: two successive run_corpus_append calls over
     corpus slices must produce keepers IDENTICAL to one
