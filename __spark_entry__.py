@@ -755,6 +755,140 @@ def q_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_difference(a, b)
 
 
+DECON_N = 4
+DECON_EVAL_PRED = "doc_id % 29 = 3"  # deterministic eval/benchmark slice
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    4-gram with the eval slice (broadcast eval grams; corpus never
+    shuffles for the join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.expr(DECON_EVAL_PRED))
+    train = docs.filter(~F.expr(DECON_EVAL_PRED))
+    return tx.contaminated_docs(train, ev, n=DECON_N)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counting + redaction over deterministically PII-salted text
+    (emails / IPv4s / phone numbers appended by doc_id % 4 — variant
+    formulas mirrored in the oracle; %4==3 rows stay clean so the
+    zero path is hash-gated too)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    raw = (
+        F.when(did % 4 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"), ds,
+                        F.lit("@example.com now")))
+        .when(did % 4 == 1,
+              F.concat(F.col("text"), F.lit(" from 10."), (did % 256).cast("string"),
+                       F.lit(".0."), (did % 200).cast("string")))
+        .when(did % 4 == 2,
+              F.concat(F.col("text"), F.lit(" call +1-555-"),
+                       (1000 + did % 9000).cast("string")))
+        .otherwise(F.col("text"))
+    )
+    n_emails, n_ips, n_phones = tx.pii_counts(raw)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        tx.pii_redact(raw).alias("redacted"),
+    )
+
+
+def _dd_pii_scrub() -> str:
+    raw = (
+        "(CASE"
+        " WHEN doc_id % 4 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'"
+        " WHEN doc_id % 4 = 1 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR)"
+        " WHEN doc_id % 4 = 2 THEN text || ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+        " ELSE text END)"
+    )
+    ne, ni, np_ = tx.dd_pii_counts(raw)
+    red = tx.dd_pii_redact(raw)
+    return (
+        f"SELECT doc_id, {ne} AS n_emails, {ni} AS n_ips,"
+        f" {np_} AS n_phones, {red} AS redacted FROM documents"
+    )
+
+
+REP_N = 2
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition quality signals (duplicate-gram
+    and top-gram basis points)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.repetition_stats(docs, n=REP_N)
+
+
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-then-chunk pretraining
+    assembly), sharded by a salted Lehmer draw so no global-order
+    reducer exists."""
+    from hexspark.sample import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(
+        docs,
+        key_col="doc_id",
+        tokens_col=tx.token_count(F.col("text")),
+        budget=PACK_BUDGET,
+        shards=PACK_SHARDS,
+    )
+
+
+def _dd_pack_sequences() -> str:
+    from hexspark.sample import dd_pack_sequences
+
+    return dd_pack_sequences(
+        "SELECT doc_id, text FROM documents",
+        key="doc_id",
+        toks_expr=tx.dd_token_count("text"),
+        budget=PACK_BUDGET,
+        shards=PACK_SHARDS,
+    )
+
+
+BLOCKED_DOMAINS = [
+    "src3.example.org", "src11.example.org", "src17.example.org"
+]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist anti-join (broadcast; corpus never shuffles
+    for the filter), rolled up to per-domain surviving page counts."""
+    from hexspark.sample import filter_blocklist
+
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["domain"]
+    )
+    kept = filter_blocklist(pages, blocked)
+    return kept.groupBy("domain").agg(F.count("*").alias("n_pages"))
+
+
+def _dd_blocklist_filter() -> str:
+    dom = tx.dd_domain_of("url")
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    from hexspark.pages import dd_pages_cte
+
+    return f"""
+        WITH pages AS ({dd_pages_cte(COPIES, PAGE_RES)})
+        SELECT {dom} AS domain, COUNT(*) AS n_pages
+        FROM pages
+        WHERE {dom} NOT IN ({blocked})
+        GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -816,6 +950,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_in_region": q_ann_in_region,
         "cap_per_domain": q_cap_per_domain,
         "tfidf_terms": q_tfidf_terms,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "blocklist_filter": q_blocklist_filter,
     }
 
 
@@ -902,4 +1041,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cap_per_domain": _dd_cap_per_domain(),
         "tfidf_terms": tx.dd_tfidf_top_terms(TFIDF_K),
+        "decontaminate": tx.dd_contaminated_docs(DECON_EVAL_PRED, DECON_N),
+        "pii_scrub": _dd_pii_scrub(),
+        "repetition_stats": tx.dd_repetition_stats(REP_N),
+        "pack_sequences": _dd_pack_sequences(),
+        "blocklist_filter": _dd_blocklist_filter(),
     }

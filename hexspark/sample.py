@@ -45,6 +45,19 @@ def _salt_mult(salt: int) -> int:
     return pow(LEHMER_MULT, salt + 1, LEHMER_MOD)
 
 
+def lehmer_hash(key: Column, salt: int = 0) -> Column:
+    """Full-range Lehmer draw in [0, 2^31-1) — the pre-basis-point
+    value :func:`sample_hash` reduces.  Exposed for uses that need a
+    uniform modulus other than 10^4 (e.g. shard assignment in
+    :func:`pack_sequences`, where ``draw % shards`` must be uniform
+    for any shard count, not only divisors of 10^4)."""
+    return (key.cast("long") % LEHMER_MOD) * _salt_mult(salt) % LEHMER_MOD
+
+
+def dd_lehmer_hash(key: str, salt: int = 0) -> str:
+    return f"((({key} % {LEHMER_MOD}) * {_salt_mult(salt)}) % {LEHMER_MOD})"
+
+
 def sample_hash(key: Column, salt: int = 0) -> Column:
     """Layout-independent per-row draw in [0, 10000) from a
     non-negative integer key.  The key is reduced mod p BEFORE the
@@ -56,15 +69,12 @@ def sample_hash(key: Column, salt: int = 0) -> Column:
     space (see :func:`_salt_mult`): :func:`deterministic_sample`
     defaults to salt 0, :func:`train_test_split` to salt 1, so
     splitting a sample is not degenerate."""
-    return (key.cast("long") % LEHMER_MOD) * _salt_mult(salt) % LEHMER_MOD % BPS_SCALE
+    return lehmer_hash(key, salt) % BPS_SCALE
 
 
 def dd_sample_hash(key: str, salt: int = 0) -> str:
     """DuckDB twin of :func:`sample_hash` (identical int arithmetic)."""
-    return (
-        f"(((({key} % {LEHMER_MOD}) * {_salt_mult(salt)})"
-        f" % {LEHMER_MOD}) % {BPS_SCALE})"
-    )
+    return f"({dd_lehmer_hash(key, salt)} % {BPS_SCALE})"
 
 
 def deterministic_sample(
@@ -159,6 +169,109 @@ def cap_per_domain(
         order=[sample_hash(F.col(key_col), salt=2), F.col(key_col)],
         payload=[key_col],
         k=k,
+    )
+
+
+PACK_SALT = 3  # composes with sample(0) / split(1) / cap(2)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: Column,
+    budget: int,
+    shards: int = 64,
+    salt: int = PACK_SALT,
+) -> DataFrame:
+    """Token-budget sequence packing — the pretraining assembly step:
+    concatenate documents in a deterministic order and cut the token
+    stream into ``budget``-sized training sequences.  Returns
+    ``(key_col, shard, seq_id, tok_start, toks)`` where ``tok_start``
+    is the document's offset in its shard's token stream and
+    ``seq_id = tok_start DIV budget`` — exactly the
+    concat-then-chunk semantics (a document may straddle sequences;
+    its seq is where it STARTS), in pure int64.
+
+    Scale shape: a global concatenation order would serialize 10^12
+    docs through one reducer's running sum, so the stream is split
+    into ``shards`` independent streams by a salted Lehmer draw on the
+    key (layout-independent → the packing is reproducible across
+    runs/engines/cluster sizes).  Each shard's cumulative sum is ONE
+    window per shard — pick ``shards`` ≈ a few × cluster parallelism
+    so a shard's rows fit a task (the window sorts only within its
+    shard).  Within a shard the order is ascending key: deterministic
+    and stable under re-partitioning."""
+    from pyspark.sql import Window
+
+    shard = (lehmer_hash(F.col(key_col), salt) % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(F.col(key_col), tokens_col.alias("toks"), shard)
+    out = out.withColumn("tok_end", F.sum("toks").over(w))
+    tok_start = (F.col("tok_end") - F.col("toks")).alias("tok_start")
+    return out.select(
+        key_col,
+        "shard",
+        F.expr(f"(tok_end - toks) DIV {budget}").alias("seq_id"),
+        tok_start,
+        "toks",
+    )
+
+
+def dd_pack_sequences(
+    source_sql: str,
+    key: str,
+    toks_expr: str,
+    budget: int,
+    shards: int = 64,
+    salt: int = PACK_SALT,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (``source_sql`` is a
+    relation exposing ``key``; SUM OVER returns HUGEINT in DuckDB —
+    cast back to BIGINT before the integer division)."""
+    shard = f"({dd_lehmer_hash(key, salt)} % {shards})"
+    return f"""
+        WITH src AS (
+            SELECT {key}, {toks_expr} AS toks, {shard} AS shard
+            FROM ({source_sql})
+        ),
+        cum AS (
+            SELECT {key}, toks, shard,
+                   CAST(SUM(toks) OVER (
+                     PARTITION BY shard ORDER BY {key}
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS tok_end
+            FROM src
+        )
+        SELECT {key}, shard, (tok_end - toks) // {budget} AS seq_id,
+               tok_end - toks AS tok_start, toks
+        FROM cum
+    """
+
+
+def filter_blocklist(
+    pages: DataFrame,
+    blocked_domains: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose URL host is on a domain blocklist (spam /
+    adult / malware lists — the first cut of crawl curation).
+    ``blocked_domains`` must expose a ``domain`` column.
+
+    Scale shape: blocklists are 10^4-10^6 domains against a 10^12-page
+    corpus — broadcast LEFT ANTI join, the corpus never shuffles and
+    the filter runs map-side.  The domain is parsed once with the
+    native regex (codegen) before the join."""
+    from .text import domain_of
+
+    df = pages.withColumn("domain", domain_of(F.col(url_col)))
+    return df.join(
+        F.broadcast(blocked_domains.select("domain").distinct()),
+        on="domain",
+        how="left_anti",
     )
 
 

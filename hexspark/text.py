@@ -243,6 +243,214 @@ def dd_top_ngrams(n: int = 2, k: int = 20) -> str:
     """
 
 
+def distinct_ngrams_col(text: Column, n: int) -> Column:
+    """Per-document DISTINCT n-gram array (set semantics — the unit of
+    contamination/coverage checks, where a gram repeating inside one
+    document must count once)."""
+    return F.array_distinct(ngrams_col(text, n))
+
+
+def contaminated_docs(
+    train: "DataFrame",
+    eval_docs: "DataFrame",
+    n: int = 4,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any word
+    ``n``-gram with an evaluation/benchmark set — the standard pre-
+    training hygiene pass (an eval answer string leaking into the
+    corpus invalidates the benchmark).  Returns ``(doc_col, n_hits)``
+    for contaminated docs only, ``n_hits`` = number of DISTINCT
+    training-doc grams that appear anywhere in the eval set.
+
+    Scale shape: the eval side is a benchmark suite — tiny (10^5-10^6
+    grams) against a 10^12-page corpus — so its distinct grams
+    BROADCAST and the corpus side never shuffles for the join; the
+    only corpus-keyed exchange is the final map-side-combinable
+    groupBy on ``doc_col``, whose input is already filtered to hit
+    rows (a sliver of the corpus).  Per-doc grams are deduped BEFORE
+    the explode (``array_distinct`` inside the row), so a gram
+    repeated within one document costs one probe row, not one per
+    occurrence.  Set ``broadcast_eval=False`` for a pathologically
+    large eval set (falls back to a shuffled join AQE can re-plan)."""
+    from pyspark.sql import DataFrame  # local: keep module import-light
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(doc_col),
+            F.explode(distinct_ngrams_col(F.col(text_col), n)).alias("gram"),
+        )
+
+    ev = grams(eval_docs).select("gram").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        grams(train)
+        .join(ev, on="gram")
+        .groupBy(doc_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def dd_contaminated_docs(eval_pred: str, n: int = 4) -> str:
+    """DuckDB twin of :func:`contaminated_docs` over ``documents``
+    split by ``eval_pred`` (a SQL boolean over the documents columns:
+    true rows form the eval set, the rest are training docs)."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(
+                     w[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(w) - {n - 2}))
+            ) t(i)
+            WHERE len(w) >= {n}
+        ),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE {eval_pred}),
+        train AS (SELECT doc_id, gram FROM grams WHERE NOT ({eval_pred}))
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM train JOIN ev USING (gram)
+        GROUP BY 1
+    """
+
+
+# PII patterns — deliberately dialect-portable (Java regex on Spark,
+# RE2 in DuckDB agree on \\d, \\b, bounded quantifiers, and character
+# classes; no lookaround, no backrefs — RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+_PII_CHAIN = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
+
+
+def pii_counts(text: Column) -> "tuple[Column, Column, Column]":
+    """(n_emails, n_ipv4, n_phones) — native regex counts, codegen-
+    resident over the full corpus scan."""
+    return tuple(
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for pat, _ in _PII_CHAIN
+    )
+
+
+def dd_pii_counts(text: str) -> "tuple[str, str, str]":
+    return tuple(
+        f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT)"
+        for pat, _ in _PII_CHAIN
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact emails → IPv4s → phone numbers with fixed placeholder
+    tokens (the pre-training privacy scrub).  The chain order is part
+    of the contract: email first (its local part may contain digit
+    runs an IP/phone pattern could clip mid-match), then IP, then
+    phone; replacement tokens contain no pattern-matchable characters,
+    so the chain is confluent.  Fixed replacement strings — no ``$``
+    / ``\\`` interpretation hazard in either engine."""
+    out = text
+    for pat, tok in _PII_CHAIN:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def dd_pii_redact(text: str) -> str:
+    out = text
+    for pat, tok in _PII_CHAIN:
+        out = f"regexp_replace({out}, '{pat}', '{tok}', 'g')"
+    return out
+
+
+REP_BPS_SCALE = 10_000
+
+
+def repetition_stats(
+    docs: "DataFrame",
+    n: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-rule family,
+    Rae et al. 2021 §A1.1 — public): duplicate-n-gram fraction and
+    top-n-gram mass, in exact basis points.  Boilerplate / template /
+    SEO-spam pages score high and get filtered before training.
+
+    Returns ``(doc_col, n_grams, dup_gram_bps, top_gram_bps)`` where
+    ``dup_gram_bps = (n_grams - n_distinct) · 10^4 DIV n_grams`` and
+    ``top_gram_bps = top_count · 10^4 DIV n_grams``.  Documents with
+    fewer than ``n`` words yield no grams and are absent (no quality
+    signal, not a zero).
+
+    Scale shape: one explode, then TWO map-side-combinable groupBys —
+    (doc, gram) counts collapse within each map task, and the per-doc
+    rollup is keyed by the same leading column so AQE coalesces
+    cheaply; no window, no per-doc sort.  Integer arithmetic only →
+    exact oracle parity."""
+    g = docs.select(
+        F.col(doc_col), F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+    )
+    per = g.groupBy(doc_col, "gram").agg(F.count("*").alias("c"))
+    agg = per.groupBy(doc_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return agg.select(
+        doc_col,
+        "n_grams",
+        F.expr(
+            f"(n_grams - n_distinct) * {REP_BPS_SCALE} DIV n_grams"
+        ).alias("dup_gram_bps"),
+        F.expr(f"top_count * {REP_BPS_SCALE} DIV n_grams").alias(
+            "top_gram_bps"
+        ),
+    )
+
+
+def dd_repetition_stats(n: int = 2) -> str:
+    """DuckDB twin of :func:`repetition_stats` over ``documents``
+    (SUM over BIGINT is HUGEINT in DuckDB — cast back before the
+    bps arithmetic so the integer division matches Spark's int64)."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(
+                     w[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(w) - {n - 2}))
+            ) t(i)
+            WHERE len(w) >= {n}
+        ),
+        per AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   COUNT(*) AS n_distinct,
+                   MAX(c) AS top_count
+            FROM per GROUP BY 1
+        )
+        SELECT doc_id, n_grams,
+               (n_grams - n_distinct) * {REP_BPS_SCALE} // n_grams
+                   AS dup_gram_bps,
+               top_count * {REP_BPS_SCALE} // n_grams AS top_gram_bps
+        FROM agg
+    """
+
+
 TFIDF_SCALE = 10_000
 
 _TFIDF_POOL = None  # created lazily to avoid an import cycle

@@ -73,3 +73,68 @@ def test_sample_hash_range(spark):
         F.min(sample_hash(F.col("id"))).alias("mn"),
     ).collect()[0]
     assert 0 <= mx["mn"] and mx["mx"] < BPS_SCALE
+
+
+# ---------------------------------------------------------------------------
+# sequence packing / blocklist
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_invariants(spark):
+    """Per-shard stream is gapless and seq ids are exact chunk math."""
+    from hexspark.sample import pack_sequences
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), ((F.col("id") % 37) + 1).alias("toks")
+    )
+    out = pack_sequences(
+        df, key_col="k", tokens_col=F.col("toks"), budget=64, shards=4
+    ).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["k"])):
+        # gapless concatenation: each doc starts where the previous ended
+        assert r["tok_start"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["tok_start"] + r["toks"]
+        assert r["seq_id"] == r["tok_start"] // 64
+    assert set(by_shard) == {0, 1, 2, 3}
+
+
+def test_pack_sequences_layout_independent(spark):
+    """Packing is a pure key function: repartitioning must not move a
+    single document to a different shard/sequence/offset."""
+    from hexspark.sample import pack_sequences
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 50 + 1).alias("toks")
+    )
+    a = pack_sequences(df, "k", F.col("toks"), budget=128, shards=8)
+    b = pack_sequences(
+        df.repartition(13, "toks"), "k", F.col("toks"), budget=128, shards=8
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_filter_blocklist_anti_join(spark):
+    """Blocked domains vanish, everything else survives untouched, and
+    the executed plan broadcasts the blocklist (corpus side must not
+    shuffle for a 10^4-domain list)."""
+    from hexspark.sample import filter_blocklist
+
+    pages = spark.range(0, 300).select(
+        F.col("id").alias("page_key"),
+        F.concat(
+            F.lit("https://src"), (F.col("id") % 10).cast("string"),
+            F.lit(".example.org/p/"), F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("src2.example.org",), ("src7.example.org",)], ["domain"]
+    )
+    kept = filter_blocklist(pages, blocked)
+    rows = kept.collect()
+    assert len(rows) == 300 - 60
+    assert not {r["domain"] for r in rows} & {
+        "src2.example.org", "src7.example.org"
+    }
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -515,3 +515,103 @@ def test_codec_probe_and_real_kernels(monkeypatch):
                           mm._decode_real_batch([b"x"], 8, "pil"))
     with pytest.raises(ValueError, match="unknown codec"):
         mm._decode_real_batch([b"x"], 8, codec="nope")
+
+
+# ---------------------------------------------------------------------------
+# decontamination / PII / repetition
+# ---------------------------------------------------------------------------
+
+def test_contaminated_docs_planted(spark):
+    """A train doc embedding an exact eval sentence is flagged with the
+    right distinct-gram count; disjoint-vocab docs are clean; the eval
+    side of the executed plan is broadcast."""
+    from hexspark.text import contaminated_docs
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains eval 4-grams: "quick brown fox jumps" and
+            # "brown fox jumps over" — each repeated twice in-doc but
+            # counted ONCE (distinct-gram semantics)
+            (1, "intro quick brown fox jumps over outro "
+                "quick brown fox jumps over end"),
+            (2, "completely disjoint vocabulary nothing shared here"),
+            (3, "quick brown fox ends"),  # only a 3-gram prefix — clean
+        ],
+        ["doc_id", "text"],
+    )
+    out = contaminated_docs(train, ev, n=4)
+    rows = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert rows == {1: 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contaminated_docs_broadcast_off_equal(spark):
+    from hexspark.text import contaminated_docs
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta y"), (2, "no overlap at all here")],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, contaminated_docs(train, ev, n=4).collect()))
+    b = sorted(map(tuple, contaminated_docs(
+        train, ev, n=4, broadcast_eval=False).collect()))
+    assert a == b == [(1, 1)]
+
+
+def test_pii_counts_and_redact(spark):
+    from hexspark.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.co.uk and ip 192.168.1.5 ok"),
+            (2, "call +44-555-0142 or +1-555-9999 today"),
+            (3, "clean text with version 1.2 and price $3.50"),
+        ],
+        ["id", "text"],
+    )
+    ne, ni, nph = pii_counts(F.col("text"))
+    out = {
+        r["id"]: (r["e"], r["i"], r["p"], r["red"])
+        for r in df.select(
+            "id", ne.alias("e"), ni.alias("i"), nph.alias("p"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1][:3] == (1, 1, 0)
+    assert out[1][3] == "mail <EMAIL> and ip <IP> ok"
+    assert out[2][:3] == (0, 0, 2)
+    assert out[2][3] == "call <PHONE> or <PHONE> today"
+    # version/price strings are NOT PII; text passes through unchanged
+    assert out[3][:3] == (0, 0, 0)
+    assert out[3][3] == "clean text with version 1.2 and price $3.50"
+
+
+def test_repetition_stats_hand_computed(spark):
+    from hexspark.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: 'a b'×3, 'b a'×2
+            (2, "one two three"),  # bigrams: 2 distinct, no dups
+            (3, "single"),         # < 2 words → absent
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1["n_grams"], r1["dup_gram_bps"], r1["top_gram_bps"]) == (
+        5, (5 - 2) * 10000 // 5, 3 * 10000 // 5
+    )
+    r2 = rows[2]
+    assert (r2["n_grams"], r2["dup_gram_bps"], r2["top_gram_bps"]) == (
+        2, 0, 5000
+    )
