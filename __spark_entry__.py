@@ -789,13 +789,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (1000 + did % 9000).cast("string")))
         .otherwise(F.col("text"))
     )
-    n_emails, n_ips, n_phones = tx.pii_counts(raw)
+    red, n_emails, n_ips, n_phones = tx.pii_scrub_with_counts(raw)
     return docs.select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
-        tx.pii_redact(raw).alias("redacted"),
+        red.alias("redacted"),
     )
 
 
@@ -807,11 +807,14 @@ def _dd_pii_scrub() -> str:
         " WHEN doc_id % 4 = 2 THEN text || ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
         " ELSE text END)"
     )
-    ne, ni, np_ = tx.dd_pii_counts(raw)
     red = tx.dd_pii_redact(raw)
+    # one redaction pass in a CTE, counts derived from the redacted
+    # string — same single-sweep shape as the Spark twin
+    ne, ni, np_ = tx.dd_pii_scrub_with_counts("redacted")
     return (
-        f"SELECT doc_id, {ne} AS n_emails, {ni} AS n_ips,"
-        f" {np_} AS n_phones, {red} AS redacted FROM documents"
+        f"WITH scrubbed AS (SELECT doc_id, {red} AS redacted FROM documents)"
+        f" SELECT doc_id, {ne} AS n_emails, {ni} AS n_ips,"
+        f" {np_} AS n_phones, redacted FROM scrubbed"
     )
 
 

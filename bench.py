@@ -265,6 +265,43 @@ def run(spark) -> tuple[dict, dict]:
 
     timed("q16_top_domains", _top_domains)
 
+    # q17: token-budget sequence packing over the full pages spine —
+    # the window runs per Lehmer shard (shards = 4× cores, so every
+    # core sorts ~n_pages/128 rows; no global-order reducer exists).
+    # The groupBy(shard).max(seq_id) sink forces the window (a bare
+    # count() could let the optimizer drop the unused Window node).
+    from hexspark.sample import pack_sequences
+
+    def _pack():
+        toks = F.col("page_key") % 997 + 1
+        out = pack_sequences(
+            pages, "page_key", toks, budget=2048, shards=int(CPUS) * 4
+        )
+        return out.groupBy("shard").agg(F.max("seq_id").alias("mx")).count()
+
+    timed("q17_pack_sequences", _pack)
+
+    # q18: PII count+redact regex chain over a synthetic short text per
+    # page — measures the native-regex codegen path at corpus row count
+    # (the op every privacy scrub runs on every document).
+    from hexspark import text as hx_text
+
+    def _pii():
+        txt = F.concat(
+            F.lit("contact user"), F.col("page_key").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("page_key") % 256).cast("string"),
+            F.lit(" lang "), F.col("lang"),
+        )
+        # single-sweep form: counting the raw text separately would
+        # re-run all three regexes (measured 8.0s vs 4.8s — text.py)
+        red, ne, ni, nph = hx_text.pii_scrub_with_counts(txt)
+        return pages.select(
+            (ne + ni + nph).alias("n"), F.length(red).alias("l")
+        ).agg(F.sum("n"), F.sum("l")).collect()
+
+    timed("q18_pii_scrub", _pii)
+
     # q15: the corpus-curation pipeline END TO END (features → simhash
     # pairs → clusters → keepers → stats) INCLUDING its checkpoint
     # Parquet writes — the dedup family's pinned wall number is the

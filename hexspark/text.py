@@ -368,6 +368,43 @@ def dd_pii_redact(text: str) -> str:
     return out
 
 
+def pii_scrub_with_counts(
+    text: Column,
+) -> "tuple[Column, Column, Column, Column]":
+    """(redacted, n_emails, n_ips, n_phones) in ONE regex sweep.
+
+    Counts are derived from the REDACTED string by literal placeholder-
+    token occurrence counting (native ``replace``, no regex) — Catalyst
+    has no common-subexpression elimination ACROSS the count and redact
+    regex chains, so counting raw text separately re-runs all three
+    patterns (measured 8.0s vs 4.8s at 20M rows/32 cores; within one
+    Project the shared redaction subtree IS eliminated, so the chain
+    runs once here).  The length-difference division is exact (the diff
+    is a multiple of the token length by construction).  Caveat: input
+    text already containing a literal placeholder token inflates that
+    token's count — use :func:`pii_counts` on the raw text when inputs
+    are not placeholder-free."""
+    red = pii_redact(text)
+    counts = tuple(
+        (
+            (F.length(red) - F.length(F.replace(red, F.lit(tok), F.lit(""))))
+            / len(tok)
+        ).cast("long")
+        for _, tok in _PII_CHAIN
+    )
+    return (red, *counts)
+
+
+def dd_pii_scrub_with_counts(red: str) -> "tuple[str, str, str]":
+    """DuckDB count twins over an already-redacted expression ``red``
+    (mirror the Spark double-division-then-cast exactly)."""
+    return tuple(
+        f"CAST((length({red}) - length(replace({red}, '{tok}', '')))"
+        f" / {len(tok)} AS BIGINT)"
+        for _, tok in _PII_CHAIN
+    )
+
+
 REP_BPS_SCALE = 10_000
 
 

@@ -615,3 +615,26 @@ def test_repetition_stats_hand_computed(spark):
     assert (r2["n_grams"], r2["dup_gram_bps"], r2["top_gram_bps"]) == (
         2, 0, 5000
     )
+
+
+def test_pii_scrub_with_counts_matches_direct(spark):
+    """The single-sweep derived counts must equal the direct regex
+    counts on placeholder-free text (incl. multi-hit and zero rows)."""
+    from hexspark.text import pii_counts, pii_scrub_with_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co and c.d@e.org plus 1.2.3.4 and +1-555-0000"),
+            (2, "nothing here"),
+            (3, "ips 10.0.0.1 10.0.0.2 10.0.0.3"),
+        ],
+        ["id", "text"],
+    )
+    ne, ni, nph = pii_counts(F.col("text"))
+    red, dne, dni, dnph = pii_scrub_with_counts(F.col("text"))
+    rows = df.select(
+        "id", ne.alias("a"), dne.alias("da"), ni.alias("b"),
+        dni.alias("db"), nph.alias("c"), dnph.alias("dc"),
+    ).collect()
+    for r in rows:
+        assert (r["a"], r["b"], r["c"]) == (r["da"], r["db"], r["dc"]), r
