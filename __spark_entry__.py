@@ -892,6 +892,46 @@ def _dd_blocklist_filter() -> str:
     """
 
 
+BOILER_MAX_DF = 30
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal over deterministically salted
+    multi-line docs: every doc gets a header (shared cookie banner for
+    doc_id%3==0, else a unique 'hdr <id>' line), its unique body, and a
+    footer (shared copyright for doc_id%2==0, else one of seven 'tail
+    <k>' lines, each in ~36 docs).  With max_doc_freq=30 the banner,
+    the copyright AND the tail classes are boilerplate; headers and
+    bodies survive — so kept/removed counts vary per doc and both the
+    broadcast membership join and the ordered rebuild are hash-gated."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    raw = F.concat_ws(
+        "\n",
+        F.when(did % 3 == 0, F.lit("COOKIE NOTICE accept all cookies"))
+        .otherwise(F.concat(F.lit("hdr "), did.cast("string"))),
+        F.col("text"),
+        F.when(did % 2 == 0, F.lit("copyright example footer"))
+        .otherwise(F.concat(F.lit("tail "), (did % 7).cast("string"))),
+    )
+    salted = docs.select("doc_id", raw.alias("text"))
+    return tx.remove_boilerplate_lines(
+        salted, "doc_id", "text", max_doc_freq=BOILER_MAX_DF
+    )
+
+
+def _dd_remove_boilerplate() -> str:
+    raw = (
+        "concat_ws(chr(10),"
+        " CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE accept all cookies'"
+        " ELSE 'hdr ' || CAST(doc_id AS VARCHAR) END,"
+        " text,"
+        " CASE WHEN doc_id % 2 = 0 THEN 'copyright example footer'"
+        " ELSE 'tail ' || CAST(doc_id % 7 AS VARCHAR) END)"
+    )
+    return tx.dd_remove_boilerplate_lines(raw, BOILER_MAX_DF)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -958,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "blocklist_filter": q_blocklist_filter,
+        "remove_boilerplate": q_remove_boilerplate,
     }
 
 
@@ -1049,4 +1090,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": tx.dd_repetition_stats(REP_N),
         "pack_sequences": _dd_pack_sequences(),
         "blocklist_filter": _dd_blocklist_filter(),
+        "remove_boilerplate": _dd_remove_boilerplate(),
     }

@@ -619,3 +619,107 @@ def dd_tfidf_top_terms(k: int = 10) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+_BOILER_POOL = None  # created lazily (mirrors _TFIDF_POOL)
+
+
+def remove_boilerplate_lines(
+    docs: "DataFrame",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1,
+    sep: str = "\n",
+    broadcast_max_rows: int = 2_000_000,
+) -> "DataFrame":
+    """Corpus-level line deduplication (the C4 / RefinedWeb boilerplate
+    rule — Raffel et al. 2020 §2.2, Penedo et al. 2023 §4.2, public):
+    a line that occurs in MORE THAN ``max_doc_freq`` distinct documents
+    is boilerplate (cookie banners, nav bars, copyright footers) and is
+    dropped from every document; surviving lines keep their original
+    order and intra-document duplicates.
+
+    Returns ``(doc_col, clean_text, n_lines_kept, n_lines_removed)``
+    — one row per input document, ``clean_text = ''`` when everything
+    was boilerplate.
+
+    Scale shape: the line-frequency side explodes PER-DOC-DISTINCT
+    lines (``array_distinct`` before the explode, so a doc repeating
+    its own line counts once — document frequency, not term frequency)
+    into ONE map-side-combinable groupBy; the boilerplate relation is
+    persisted (pooled) and size-probed — at/below
+    ``broadcast_max_rows`` it broadcasts (hash probe per line, the
+    exploded corpus never shuffles for the membership test), above it
+    the join shuffles keyed by line (the safe branch; same rule as
+    ``embed.restrict_to_ids``).  The rebuild is the ONE unavoidable
+    corpus-scale shuffle: groupBy(doc) with collect_list over
+    when(kept) — NULLs (removed lines) are skipped by collect_list, so
+    all-boilerplate docs still emit a row.  Skew is bounded by the
+    largest single document, not by line popularity.
+
+    Note: empty lines ('') are counted like any other — a frequent
+    blank line IS removed (blank-run collapse, usually wanted).  ``sep``
+    must be a literal string (regex-escaped internally)."""
+    import re as _re
+
+    from .cachepool import CachePool
+
+    global _BOILER_POOL
+    if _BOILER_POOL is None:
+        _BOILER_POOL = CachePool()
+    _BOILER_POOL.new_generation()
+
+    lines = F.split(F.col(text_col), _re.escape(sep))
+    per_doc = docs.select(
+        F.col(doc_col), F.explode(F.array_distinct(lines)).alias("line")
+    )
+    boiler = (
+        per_doc.groupBy("line")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    boiler = _BOILER_POOL.add(boiler.persist())
+    n_boiler = boiler.count()
+    rhs = F.broadcast(boiler) if n_boiler <= broadcast_max_rows else boiler
+    flagged = docs.select(
+        F.col(doc_col), F.posexplode(lines).alias("pos", "line")
+    ).join(rhs, on="line", how="left")
+    kept = F.col("_boiler").isNull()
+    return flagged.groupBy(doc_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(kept, F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.when(kept, F.lit(1))).alias("n_lines_kept"),
+        F.count("_boiler").alias("n_lines_removed"),
+    )
+
+
+def dd_remove_boilerplate_lines(
+    text_expr: str = "text", max_doc_freq: int = 1
+) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_lines` over
+    ``documents`` (newline separator; indexed list_transform gives the
+    pos the ordered string_agg rebuilds by)."""
+    return (
+        f"WITH ls AS (SELECT doc_id, string_split({text_expr}, chr(10)) AS arr"
+        " FROM documents),"
+        " ex AS (SELECT doc_id, UNNEST(list_transform(arr,"
+        " (x, i) -> {'pos': i, 'line': x}), recursive := true) FROM ls),"
+        " boiler AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM ex)"
+        f" GROUP BY line HAVING COUNT(*) > {max_doc_freq})"
+        " SELECT doc_id,"
+        " COALESCE(string_agg(CASE WHEN line NOT IN (SELECT line FROM boiler)"
+        " THEN line END, chr(10) ORDER BY pos), '') AS clean_text,"
+        " COUNT(CASE WHEN line NOT IN (SELECT line FROM boiler) THEN 1 END)"
+        " AS n_lines_kept,"
+        " COUNT(CASE WHEN line IN (SELECT line FROM boiler) THEN 1 END)"
+        " AS n_lines_removed"
+        " FROM ex GROUP BY doc_id"
+    )

@@ -638,3 +638,56 @@ def test_pii_scrub_with_counts_matches_direct(spark):
     ).collect()
     for r in rows:
         assert (r["a"], r["b"], r["c"]) == (r["da"], r["db"], r["dc"]), r
+
+
+def test_remove_boilerplate_lines_hand_computed(spark):
+    """Order preservation, intra-doc duplicate keeping, all-removed
+    doc emitting '' (collect_list-skips-NULL path), and frequent
+    EMPTY line removal."""
+    from hexspark.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep a\nBOIL\nkeep a\nzz"),   # dup kept line survives twice
+            (2, "BOIL\n\nmid"),
+            (3, "BOIL\n\nonly-unique"),
+            (4, "BOIL\n"),                      # trailing '' + BOIL → all removed
+        ],
+        ["doc_id", "text"],
+    )
+    # doc freq: BOIL=4, ''=3 (docs 2,3,4) → both boilerplate at max_doc_freq=2
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, max_doc_freq=2).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "keep a\nkeep a\nzz"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "mid"
+    assert out[3]["clean_text"] == "only-unique"
+    assert out[4]["clean_text"] == ""
+    assert (out[4]["n_lines_kept"], out[4]["n_lines_removed"]) == (0, 2)
+
+
+def test_remove_boilerplate_lines_join_branches_agree(spark):
+    """The size-probed broadcast branch and the forced shuffle branch
+    must return identical rows."""
+    from hexspark.text import remove_boilerplate_lines
+
+    rows = [
+        (i, f"unique head {i}\nSHARED FOOTER\nbody {i % 3}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        remove_boilerplate_lines(df, max_doc_freq=5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        remove_boilerplate_lines(
+            df, max_doc_freq=5, broadcast_max_rows=0
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+    # 'body k' lines sit in 10 docs each (>5) → removed; heads kept
+    assert all(r["clean_text"] == f"unique head {r['doc_id']}" for r in a)
