@@ -892,6 +892,52 @@ def _dd_blocklist_filter() -> str:
     """
 
 
+MIX_WEIGHTS = {"web": 7000, "books": 2000, "code": 1000}
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: docs carry a synthetic domain
+    (doc_id % 4 → web/books/code/junk) and a real token count; the
+    targets ask for 70/20/10 web/books/code, so web (only ~25% of the
+    mass) is the binding group (kept in full), books/code downsample
+    hard, and 'junk' — present in the corpus, absent from the weights —
+    must vanish entirely."""
+    from hexspark.sample import mix_by_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m4 = F.col("doc_id") % 4
+    grp = (
+        F.when(m4 == 0, F.lit("web"))
+        .when(m4 == 1, F.lit("books"))
+        .when(m4 == 2, F.lit("code"))
+        .otherwise(F.lit("junk"))
+    )
+    src = docs.select(
+        "doc_id",
+        grp.alias("grp"),
+        tx.token_count(F.col("text")).alias("toks"),
+    )
+    return mix_by_token_budget(src, "doc_id", "grp", "toks", MIX_WEIGHTS)
+
+
+def _dd_mix_corpus() -> str:
+    from hexspark.sample import dd_mix_by_token_budget
+
+    grp = (
+        "(CASE doc_id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'books'"
+        " WHEN 2 THEN 'code' ELSE 'junk' END)"
+    )
+    return dd_mix_by_token_budget(
+        "grp, d.doc_id AS doc_id, d.toks AS toks",
+        f"(SELECT doc_id, {tx.dd_token_count('text')} AS toks"
+        " FROM documents)",
+        "d.doc_id",
+        grp,
+        "toks",
+        MIX_WEIGHTS,
+    )
+
+
 BOILER_MAX_DF = 30
 
 
@@ -999,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "blocklist_filter": q_blocklist_filter,
         "remove_boilerplate": q_remove_boilerplate,
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -1091,4 +1138,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _dd_pack_sequences(),
         "blocklist_filter": _dd_blocklist_filter(),
         "remove_boilerplate": _dd_remove_boilerplate(),
+        "mix_corpus": _dd_mix_corpus(),
     }

@@ -292,3 +292,99 @@ def dd_cap_per_domain(pages_cte: str, k: int, key: str = "page_key") -> str:
             FROM pages
         ) WHERE rank <= {k}
     """
+
+
+def mix_by_token_budget(
+    docs: DataFrame,
+    key_col: str,
+    group_col: str,
+    token_col: "str | Column",
+    weights_bps: Mapping[str, int],
+    salt: int = 3,
+) -> DataFrame:
+    """Corpus mixing: downsample groups so the KEPT token mass hits the
+    target mixture ``weights_bps`` (basis points per group), keeping
+    the LARGEST corpus achievable by pure downsampling — the
+    mixture-assembly step of training-corpus construction (the
+    fixed-weight setting of DoReMi, Xie et al. 2023; standard practice
+    since GPT-3/Pile, public).
+
+    Mechanics (exact int64 arithmetic → bit-exact oracle): measure the
+    per-group token mass ``T_g``; the achievable total budget is
+    ``B = min_g (T_g · 10^4 DIV w_g)`` (the binding group — the one
+    scarcest relative to its target — is kept in full); each group's
+    keep rate is ``rate_g = min(10^4, B · w_g DIV T_g)`` basis points,
+    applied with the layout-independent Lehmer draw on ``key_col``.
+    Expected kept mass per group is ``B·w_g/10^4`` — proportions match
+    the targets up to sampling noise.  Groups absent from
+    ``weights_bps`` (or weighted 0) are DROPPED; groups named in the
+    weights but absent from the corpus are ignored by the min.
+    Int64 bound: raises past ``T_g · 10^4 > 9.2e18`` (a group holding
+    >9·10^14 tokens — beyond any current corpus; switch the budget
+    arithmetic to double there).
+
+    Scale shape: ONE map-side-combinable groupBy on the (tiny-
+    cardinality) group key — partial sums collapse per map task, so a
+    dominant group cannot skew a reducer; the rates relation is
+    |groups| rows, broadcast back — the corpus itself never shuffles,
+    and the final filter is codegen-resident.  ``salt=3`` is the
+    reserved mixing draw (0 sample / 1 split / 2 per-domain cap)."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w: Column = F.lit(None).cast("long")
+    for value, bps in sorted(weights_bps.items()):
+        w = F.when(F.col(group_col) == value, F.lit(bps)).otherwise(w)
+    tot = (
+        docs.groupBy(group_col)
+        .agg(F.sum(tok.cast("long")).alias("t"))
+        .withColumn("w", w)
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0) & (F.col("t") > 0))
+    )
+    budget = tot.agg(
+        F.min(F.expr(f"t * {BPS_SCALE} DIV w")).alias("budget")
+    )
+    rates = tot.crossJoin(F.broadcast(budget)).select(
+        group_col,
+        F.least(
+            F.lit(BPS_SCALE).cast("long"), F.expr("budget * w DIV t")
+        ).alias("rate_bps"),
+    )
+    draw = sample_hash(F.col(key_col), salt)
+    return (
+        docs.join(F.broadcast(rates), on=group_col, how="inner")
+        .filter(draw < F.col("rate_bps"))
+        .drop("rate_bps")
+    )
+
+
+def dd_mix_by_token_budget(
+    select_cols: str,
+    from_table: str,
+    key: str,
+    group_expr: str,
+    token_expr: str,
+    weights_bps: Mapping[str, int],
+    salt: int = 3,
+) -> str:
+    """DuckDB twin of :func:`mix_by_token_budget` (SUM(BIGINT) is
+    HUGEINT in DuckDB — cast back before the integer division so //
+    matches Spark's int64 DIV)."""
+    whens = " ".join(
+        f"WHEN '{v}' THEN {b}" for v, b in sorted(weights_bps.items())
+    )
+    draw = dd_sample_hash(key, salt)
+    return f"""
+        WITH src AS (SELECT *, {group_expr} AS grp FROM {from_table}),
+        tot AS (
+            SELECT grp, CAST(SUM({token_expr}) AS BIGINT) AS t,
+                   (CASE grp {whens} ELSE NULL END) AS w
+            FROM src GROUP BY 1
+        ),
+        tw AS (SELECT * FROM tot WHERE w IS NOT NULL AND w > 0 AND t > 0),
+        b AS (SELECT MIN(t * {BPS_SCALE} // w) AS budget FROM tw),
+        rates AS (
+            SELECT grp, LEAST({BPS_SCALE}, budget * w // t) AS rate_bps
+            FROM tw, b
+        )
+        SELECT {select_cols} FROM src d JOIN rates r USING (grp)
+        WHERE {draw} < r.rate_bps
+    """

@@ -138,3 +138,47 @@ def test_filter_blocklist_anti_join(spark):
     }
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def _draw(key: int, salt: int = 3) -> int:
+    from hexspark.sample import LEHMER_MOD, BPS_SCALE, _salt_mult
+
+    return (key % LEHMER_MOD) * _salt_mult(salt) % LEHMER_MOD % BPS_SCALE
+
+
+def test_mix_by_token_budget_hand_computed(spark):
+    """Two equal-weight groups, 10:1 token imbalance: the scarce group
+    is binding (kept in FULL), the big one keeps exactly the rate that
+    equalizes kept mass; membership matches the pure-python draw."""
+    from hexspark.sample import mix_by_token_budget
+
+    rows = [(i, "A", 10) for i in range(10)]          # T_A = 100
+    rows += [(100 + i, "B", 10) for i in range(100)]  # T_B = 1000
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "toks"])
+    out = mix_by_token_budget(
+        df, "doc_id", "grp", "toks", {"A": 5000, "B": 5000}
+    )
+    got = {(r["doc_id"], r["grp"]) for r in out.collect()}
+    # budget = min(100*10^4 DIV 5000, 1000*10^4 DIV 5000) = 200
+    # rate_A = 200*5000 DIV 100 = 10000 (all); rate_B = ... DIV 1000 = 1000
+    expect = {(i, "A") for i in range(10)}
+    expect |= {(k, "B") for k in range(100, 200) if _draw(k) < 1000}
+    assert got == expect
+    assert len({g for _, g in got if g == "B"}) > 0  # rate not degenerate
+
+
+def test_mix_by_token_budget_drops_unweighted_groups(spark):
+    """Groups missing from the weights (or weighted 0) vanish; a
+    weighted group absent from the corpus doesn't poison the budget."""
+    from hexspark.sample import mix_by_token_budget
+
+    rows = [(i, ["keep", "junk", "zero"][i % 3], 5) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "toks"])
+    out = mix_by_token_budget(
+        df, "doc_id", "grp", "toks",
+        {"keep": 10000, "zero": 0, "ghost": 4000},
+    )
+    rows_out = out.collect()
+    assert {r["grp"] for r in rows_out} == {"keep"}
+    # keep is the only participating group → binding → kept in full
+    assert len(rows_out) == 20
