@@ -28,7 +28,7 @@ from hexspark.embed import (
     ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf, dd_ann_topk_lsh,
     dd_embedding_dups,
 )
-from hexspark.geo import knn_join, pip_column
+from hexspark.geo import distance_join, knn_join, pip_column
 from hexspark.multimodal import (
     dd_media_features, dd_media_resize, extract_features, synth_media,
 )
@@ -206,6 +206,28 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_join(pages, anchors, KNN_K, metric="sq")
     return out.select(
         "anchor_id", F.col("rank").cast("long").alias("rank"), "page_key"
+    )
+
+
+DIST_JOIN_RADIUS = 8.5  # degrees (sq metric); ~90 pairs at the test SFs
+
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join: every page within DIST_JOIN_RADIUS degrees of each
+    nation anchor (geo.distance_join — grid-stencil candidates + exact
+    sq refine; the oracle is an independent brute-force cross join)."""
+    pages = synth_pages(
+        spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False
+    ).select("page_key", "lat", "lon")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    alat, alon = synth.latlon_from_key(F.col("n_nationkey") * 7919 + 13)
+    anchors = nation.select(
+        F.col("n_nationkey").alias("anchor_id"), alat.alias("alat"), alon.alias("alon")
+    )
+    return distance_join(
+        anchors, pages, DIST_JOIN_RADIUS,
+        probe_key="anchor_id", point_key="page_key",
+        probe_cols=("alat", "alon"), point_cols=("lat", "lon"),
     )
 
 
@@ -1004,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_region_rollup": q_tile_region_rollup,
         "subtree_sum": q_subtree_sum,
         "knn": q_knn,
+        "distance_join": q_distance_join,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1069,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "subtree_sum": oracles.q_subtree_sum(),
         "knn": oracles.q_knn(KNN_K, COPIES, PAGE_RES),
+        "distance_join": oracles.q_distance_join(DIST_JOIN_RADIUS, COPIES, PAGE_RES),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -593,3 +593,26 @@ def q_ann_in_region(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def q_distance_join(radius: float, copies: int, page_res: int = 12) -> str:
+    """Brute-force twin of geo.distance_join (sq metric): a plain
+    cross-join + filter, deliberately INDEPENDENT of the engine's grid
+    stencil so it checks the candidate cover, not just the refine.
+    The squared-distance expression mirrors geo.sq_dist's association
+    order (lat term first) for bit-equal doubles."""
+    alat, alon = synth.dd_latlon_from_key("(n_nationkey * 7919 + 13)")
+    r2 = repr(float(radius) * float(radius))
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        anchors AS (
+            SELECT n_nationkey AS anchor_id, {alat} AS alat, {alon} AS alon
+            FROM nation
+        )
+        SELECT a.anchor_id, p.page_key,
+               (a.alat - p.lat) * (a.alat - p.lat)
+             + (a.alon - p.lon) * (a.alon - p.lon) AS dist
+        FROM anchors a, pages p
+        WHERE (a.alat - p.lat) * (a.alat - p.lat)
+            + (a.alon - p.lon) * (a.alon - p.lon) <= {r2}
+    """

@@ -334,3 +334,98 @@ def test_knn_join_haversine_metric(spark):
     assert len(out) == 5
     dists = [r["dist"] for r in sorted(out, key=lambda r: r["rank"])]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+# ---------------------------------------------------------------------------
+# distance (epsilon/radius) join
+# ---------------------------------------------------------------------------
+
+def _dj_points(spark, n):
+    from hexspark import synth
+
+    return spark.range(n).select(
+        F.col("id").alias("k"), *synth.latlon_from_key(F.col("id"))
+    )
+
+
+def _dj_brute(probes, points, radius):
+    from hexspark.geo import sq_dist
+
+    return (
+        probes.crossJoin(
+            points.select(
+                F.col("k").alias("point"),
+                F.col("lat").alias("qlat"),
+                F.col("lon").alias("qlon"),
+            )
+        )
+        .withColumn(
+            "dist", sq_dist(F.col("plat"), F.col("plon"), F.col("qlat"), F.col("qlon"))
+        )
+        .filter(F.col("dist") <= radius * radius)
+        .select("probe", "point", "dist")
+    )
+
+
+def test_distance_join_vs_brute(spark):
+    from hexspark.geo import distance_join, distance_join_res
+
+    pts = _dj_points(spark, 2500)
+    probes = pts.filter(F.col("k") % 80 == 0).select(
+        F.col("k").alias("probe"), F.col("lat").alias("plat"), F.col("lon").alias("plon")
+    )
+    # (auto-res 3x3 stencil, forced-coarse widened stencil, res-0 wide radius)
+    for radius, res in [(2.5, None), (2.5, 2), (25.0, None)]:
+        got = distance_join(
+            probes, pts, radius, probe_key="probe", point_key="k",
+            probe_cols=("plat", "plon"), point_cols=("lat", "lon"), res=res,
+        )
+        g = set(map(tuple, got.collect()))
+        b = set(map(tuple, _dj_brute(probes, pts, radius).collect()))
+        assert g == b and len(b) > 0
+    assert distance_join_res(0.3) == 4  # min axis width at res 4: 0.334 deg
+
+
+def test_distance_join_shuffle_branch_and_plan(spark):
+    from hexspark.geo import distance_join
+
+    pts = _dj_points(spark, 1200)
+    probes = pts.filter(F.col("k") % 60 == 0).select(
+        F.col("k").alias("probe"), F.col("lat").alias("plat"), F.col("lon").alias("plon")
+    )
+    bc = distance_join(
+        probes, pts, 3.0, probe_key="probe", point_key="k",
+        probe_cols=("plat", "plon"), point_cols=("lat", "lon"),
+    )
+    # points side must not shuffle when the stencil broadcasts
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    sh = distance_join(
+        probes, pts, 3.0, probe_key="probe", point_key="k",
+        probe_cols=("plat", "plon"), point_cols=("lat", "lon"), broadcast_rows=1,
+    )
+    assert set(map(tuple, bc.collect())) == set(map(tuple, sh.collect()))
+
+
+def test_distance_join_self_pairs_once(spark):
+    from hexspark.geo import distance_join, sq_dist
+
+    pts = _dj_points(spark, 500).select(F.col("k").alias("page"), "lat", "lon")
+    got = distance_join(
+        pts, pts, 12.0, probe_key="page", point_key="page", pairs_once=True
+    )
+    assert got.columns == ["page_l", "page_r", "dist"]
+    brute = (
+        pts.crossJoin(
+            pts.select(
+                F.col("page").alias("page_r"),
+                F.col("lat").alias("lat2"),
+                F.col("lon").alias("lon2"),
+            )
+        )
+        .withColumn("dist", sq_dist(F.col("lat"), F.col("lon"), F.col("lat2"), F.col("lon2")))
+        .filter((F.col("dist") <= 144.0) & (F.col("page") < F.col("page_r")))
+        .select(F.col("page").alias("page_l"), "page_r", "dist")
+    )
+    g = set(map(tuple, got.collect()))
+    b = set(map(tuple, brute.collect()))
+    assert g == b and len(b) > 0
