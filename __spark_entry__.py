@@ -33,6 +33,7 @@ from hexspark.multimodal import (
     dd_media_features, dd_media_resize, extract_features, synth_media,
 )
 from hexspark.pages import synth_pages
+from hexspark.temporal import asof_join, range_join, synth_intervals
 
 COPIES = 2
 PAGE_RES = 12
@@ -210,6 +211,39 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DIST_JOIN_RADIUS = 8.5  # degrees (sq metric); ~90 pairs at the test SFs
+ASOF_TOL_HOURS = 6
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gains the latest click <= its ts by the
+    same user, within ASOF_TOL_HOURS (temporal.asof_join — one shuffle,
+    running-last window over the tagged union)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "click")
+    out = asof_join(probes, build, tolerance=f"'{ASOF_TOL_HOURS}' HOUR")
+    # epoch-micro bigints (oracle convention: no raw timestamps in the
+    # driver's pandas-hash compare — see dd_event_sessions' strftime)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_m").cast("timestamp")).alias("ts_m_us"),
+        "event_id_m", "value_m",
+    )
+
+
+def q_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events falling inside deterministic
+    supplier maintenance windows (temporal.range_join — chunked
+    candidate cover + exact timestamp refine; events never shuffle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = range_join(synth_intervals(spark, sf_dir), ev)
+    return out.select(
+        "window_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
 
 
 def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_sum": q_subtree_sum,
         "knn": q_knn,
         "distance_join": q_distance_join,
+        "asof_events": q_asof_events,
+        "range_events": q_range_events,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1093,6 +1129,8 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sum": oracles.q_subtree_sum(),
         "knn": oracles.q_knn(KNN_K, COPIES, PAGE_RES),
         "distance_join": oracles.q_distance_join(DIST_JOIN_RADIUS, COPIES, PAGE_RES),
+        "asof_events": oracles.q_asof_events(ASOF_TOL_HOURS),
+        "range_events": oracles.q_range_events(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -616,3 +616,37 @@ def q_distance_join(radius: float, copies: int, page_res: int = 12) -> str:
         WHERE (a.alat - p.lat) * (a.alat - p.lat)
             + (a.alon - p.lon) * (a.alon - p.lon) <= {r2}
     """
+
+
+def q_asof_events(tolerance_hours: int) -> str:
+    """Independent DuckDB twin of temporal.asof_join over events:
+    nested-loop LEFT JOIN + QUALIFY row_number picks the same latest
+    build row the running-last window does (ties: ts DESC, event_id
+    DESC == the window's ascending (ts, ord) last)."""
+    return f"""
+        WITH probes AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        build AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               epoch_us(b.ts) AS ts_m_us, b.event_id AS event_id_m,
+               b.value AS value_m
+        FROM probes p LEFT JOIN build b
+          ON b.user_id = p.user_id AND b.ts <= p.ts
+         AND b.ts >= p.ts - INTERVAL {tolerance_hours} HOUR
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY p.event_id
+            ORDER BY b.ts DESC NULLS LAST, b.event_id DESC NULLS LAST
+        ) = 1
+    """
+
+
+def q_range_events() -> str:
+    """Independent DuckDB twin of temporal.range_join: plain cross join
+    + half-open interval predicate (no chunking)."""
+    from .temporal import dd_intervals_cte
+
+    return f"""
+        WITH iv AS ({dd_intervals_cte()})
+        SELECT i.window_id, e.event_id, epoch_us(e.ts) AS ts_us
+        FROM iv i, events e
+        WHERE i.start_ts <= e.ts AND e.ts < i.end_ts
+    """

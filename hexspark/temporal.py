@@ -1,0 +1,213 @@
+"""Temporal joins: as-of join and interval (range) join.
+
+Two classic operators Spark's built-in join strategies lack, expressed
+Spark-first (the build brief names both as custom-operator targets for
+a large-scale training/event pipeline):
+
+* :func:`asof_join` — for each probe row, the LATEST build row with
+  ``build.ts <= probe.ts`` per key, optionally within a tolerance.
+  ONE shuffle: both sides union into a single relation partitioned by
+  the key and sorted by time; a running ``last(ignorenulls)`` window
+  carries the most recent build payload forward onto each probe row.
+  No per-probe scan, no cross product — the canonical distributed
+  merge-asof (same plan shape pandas ``merge_asof`` implies, but
+  executed as a Spark window over the union).
+
+* :func:`range_join` — all (interval, point) pairs with
+  ``start <= ts < end``.  Time is bucketed into fixed chunks sized by
+  the widest interval; each interval explodes into the chunks it
+  covers, candidates equi-join on the chunk id, and an exact native
+  timestamp comparison refines.  Same candidate-cover pattern as
+  ``geo.distance_join``, in one dimension — never an
+  inequality-condition nested-loop join.
+
+Determinism: tie-breaks are total (event order column), so both
+operators have exact DuckDB twins in the oracle gate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    build: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload: Sequence[str] = ("event_id", "value"),
+    order_col: str = "event_id",
+    tolerance: Optional[str] = None,
+    suffix: str = "_m",
+) -> DataFrame:
+    """Left as-of join: each probe row gains the latest build row with
+    ``build.ts_col <= probe.ts_col`` sharing ``on`` (NULLs when none).
+
+    ``payload`` — build columns attached to the probe, renamed with
+    ``suffix`` (the build's timestamp is always attached as
+    ``{ts_col}{suffix}``).  ``order_col`` — total tie-break among
+    equal-timestamp build rows (the max wins, matching the DuckDB twin's
+    ``ORDER BY ts DESC, order_col DESC``).  ``tolerance`` — SQL interval
+    string (e.g. ``'6 hours'``): matches older than it are nulled out,
+    in exact integer interval arithmetic (no float epoch math, so the
+    boundary is bit-identical cross-engine).
+
+    Scale: one hash exchange on ``on`` + per-key sort — the minimal
+    work any merge-asof does.  A pathologically hot key serializes its
+    own sort only; pre-split such keys by coarse time range and stitch
+    (the running-last window composes across splits whose boundaries
+    carry the last build row forward).
+    """
+    b_sel = build.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(order_col).cast("long").alias("__ord"),
+        F.struct(
+            F.col(ts_col).alias("__bts"),
+            *[F.col(c).alias(c) for c in payload],
+        ).alias("__b"),
+    )
+    p_sel = probes.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__ord"),
+        F.struct(*[F.col(c) for c in probes.columns]).alias("__p"),
+    )
+    b_t = b_sel.schema["__b"].dataType
+    p_t = p_sel.schema["__p"].dataType
+    u = p_sel.withColumn("__b", F.lit(None).cast(b_t)).unionByName(
+        b_sel.withColumn("__p", F.lit(None).cast(p_t))
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn("__m", F.last("__b", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+    if tolerance is not None:
+        keep = F.col("__m.__bts") >= F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.withColumn("__m", F.when(keep, F.col("__m")))
+    return out.select(
+        F.col("__p.*"),
+        F.col("__m.__bts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload],
+    )
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    interval_key: str = "window_id",
+    point_key: str = "event_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    ts_col: str = "ts",
+    on: Optional[str] = None,
+    chunk_seconds: Optional[int] = None,
+    broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """All (interval, point) pairs with ``start <= ts < end`` (half-open),
+    optionally also equal on ``on``.
+
+    Chunked candidate cover: time is split into fixed ``chunk_seconds``
+    buckets (default: the widest interval, measured with one tiny agg
+    over the interval table); each interval explodes into the ≤
+    ceil(len/chunk)+1 chunks it overlaps, candidates equi-join on the
+    chunk id, and the exact native timestamp predicate refines.  The
+    points side never shuffles while the exploded interval relation
+    fits the broadcast budget; beyond it the chunk id becomes a
+    shuffled equi-join key — never Spark's nested-loop fallback for
+    pure inequality conditions.
+
+    Chunk assignment is exact-integer epoch microseconds
+    (``unix_micros``), so the cover has no float edge cases at all; the
+    refine is pure timestamp comparison.
+    """
+
+    def micros(c) -> F.Column:
+        # session tz is pinned UTC, so NTZ -> TZ is a reinterpretation
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    if chunk_seconds is None:
+        widest = intervals.agg(
+            F.max(micros(end_col) - micros(start_col))
+        ).first()[0]
+        chunk_seconds = max(1, int(widest) // 1_000_000 + 1)
+    chunk_us = F.lit(int(chunk_seconds) * 1_000_000)
+    i_lo = micros(start_col) - (micros(start_col) % chunk_us)
+    i_hi = micros(end_col) - (micros(end_col) % chunk_us)
+    i_lo, i_hi = (i_lo / chunk_us).cast("long"), (i_hi / chunk_us).cast("long")
+    ikeep = [interval_key, start_col, end_col] + ([on] if on else [])
+    cand = intervals.select(
+        *ikeep, F.explode(F.sequence(i_lo, i_hi)).alias("__chunk")
+    )
+    n_intervals = intervals.count()
+    if n_intervals * 4 <= broadcast_rows:
+        cand = F.broadcast(cand)
+    pts = points.select(
+        point_key,
+        F.col(ts_col).alias("__pts"),
+        *([on] if on else []),
+        ((micros(ts_col) - (micros(ts_col) % chunk_us)) / chunk_us)
+        .cast("long")
+        .alias("__chunk"),
+    )
+    joined = pts.join(
+        cand, on=["__chunk"] + ([on] if on else []), how="inner"
+    ).filter(
+        (F.col(start_col) <= F.col("__pts")) & (F.col("__pts") < F.col(end_col))
+    )
+    return joined.select(
+        interval_key, point_key, F.col("__pts").alias(ts_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic interval synth (Spark / DuckDB twins, oracle contract)
+# ---------------------------------------------------------------------------
+
+INTERVAL_EPOCH = "2024-01-01 00:00:00"
+
+
+def synth_intervals(spark, sf_dir: str) -> DataFrame:
+    """Deterministic maintenance-window table from supplier keys: start
+    offset and length in exact integer minutes (cross-engine exact)."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        sup.select(
+            F.col("s_suppkey").alias("window_id"),
+            F.expr(
+                f"TIMESTAMP '{INTERVAL_EPOCH}'"
+                " + make_interval(0,0,0,0,0, CAST((s_suppkey * 7919) % 43200 AS INT), 0)"
+            ).alias("start_ts"),
+        )
+        .withColumn(
+            "end_ts",
+            F.expr(
+                "start_ts + make_interval(0,0,0,0,0,"
+                " CAST(30 + (window_id % 180) AS INT), 0)"
+            ),
+        )
+    )
+
+
+def dd_intervals_cte() -> str:
+    """DuckDB twin of :func:`synth_intervals`."""
+    start = (
+        f"TIMESTAMP '{INTERVAL_EPOCH}'"
+        " + TO_MINUTES((s_suppkey * 7919) % 43200)"
+    )
+    return (
+        f"SELECT s_suppkey AS window_id, {start} AS start_ts,"
+        f" {start} + TO_MINUTES(30 + (s_suppkey % 180)) AS end_ts"
+        " FROM supplier"
+    )

@@ -1,0 +1,122 @@
+"""asof_join / range_join vs brute-force truth (hexspark.temporal)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hexspark.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _asof_brute(probes, build, tolerance_hours=None):
+    cond = (F.col("b.user_id") == F.col("p.user_id")) & (
+        F.col("b.ts") <= F.col("p.ts")
+    )
+    if tolerance_hours is not None:
+        cond = cond & (
+            F.col("b.ts")
+            >= F.col("p.ts") - F.expr(f"INTERVAL '{tolerance_hours}' HOUR")
+        )
+    j = probes.alias("p").join(build.alias("b"), cond, "left")
+    w = Window.partitionBy("p.event_id").orderBy(
+        F.col("b.ts").desc_nulls_last(), F.col("b.event_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("p.event_id").alias("event_id"),
+            F.col("b.ts").alias("ts_m"),
+            F.col("b.event_id").alias("event_id_m"),
+            F.col("b.value").alias("value_m"),
+        )
+    )
+
+
+def _asof_map(df):
+    return {
+        r["event_id"]: (r["ts_m"], r["event_id_m"], r["value_m"])
+        for r in df.collect()
+    }
+
+
+def test_asof_join_vs_brute(events):
+    probes = events.filter(F.col("event_type") == "purchase")
+    build = events.filter(F.col("event_type") == "click")
+    got = asof_join(probes, build, on="user_id", ts_col="ts",
+                    payload=("event_id", "value"), order_col="event_id")
+    assert got.columns[-3:] == ["ts_m", "event_id_m", "value_m"]
+    g = _asof_map(got.select("event_id", "ts_m", "event_id_m", "value_m"))
+    b = _asof_map(_asof_brute(probes, build))
+    assert g == b and len(g) == probes.count()
+    # every probe row is preserved; most have a match, some don't
+    n_matched = sum(1 for v in g.values() if v[1] is not None)
+    assert 0 < n_matched < len(g)
+
+
+def test_asof_join_tolerance(events):
+    probes = events.filter(F.col("event_type") == "purchase")
+    build = events.filter(F.col("event_type") == "click")
+    got = asof_join(probes, build, tolerance="'6' HOUR")
+    g = _asof_map(got.select("event_id", "ts_m", "event_id_m", "value_m"))
+    b = _asof_map(_asof_brute(probes, build, tolerance_hours=6))
+    assert g == b
+    # the tolerance must actually cut matches vs the unbounded join
+    unbounded = _asof_map(_asof_brute(probes, build))
+    assert (
+        sum(1 for v in g.values() if v[1] is not None)
+        < sum(1 for v in unbounded.values() if v[1] is not None)
+    )
+
+
+def _intervals(spark, sf_dir):
+    from hexspark.temporal import synth_intervals
+
+    return synth_intervals(spark, sf_dir)
+
+
+def _range_brute(iv, events, on=None):
+    ev = events.select(
+        "event_id", "ts", F.col("user_id").alias("__eu")
+    )
+    cond = (F.col("start_ts") <= F.col("ts")) & (F.col("ts") < F.col("end_ts"))
+    j = iv.crossJoin(ev).filter(cond)
+    if on:
+        j = j.filter(F.col("__eu") == F.col(on))
+    return j.select("window_id", "event_id", "ts")
+
+
+def test_range_join_vs_brute(spark, sf_dir, events):
+    iv = _intervals(spark, sf_dir)
+    got = range_join(iv, events)
+    g = set(map(tuple, got.collect()))
+    b = set(map(tuple, _range_brute(iv, events).collect()))
+    assert g == b and len(b) > 0
+    # forced-small chunks (multi-chunk intervals) cover identically
+    got2 = range_join(iv, events, chunk_seconds=600)
+    assert set(map(tuple, got2.collect())) == b
+    # shuffled (no-broadcast) branch
+    got3 = range_join(iv, events, broadcast_rows=1)
+    assert set(map(tuple, got3.collect())) == b
+
+
+def test_range_join_with_equality_key(spark, sf_dir, events):
+    iv = _intervals(spark, sf_dir).withColumn(
+        "user_id", F.col("window_id") % 150
+    )
+    got = range_join(iv, events, on="user_id")
+    g = set(map(tuple, got.collect()))
+    b = set(map(tuple, _range_brute(iv, events, on="user_id").collect()))
+    assert g == b
+
+
+def test_range_join_broadcast_plan(spark, sf_dir, events):
+    iv = _intervals(spark, sf_dir)
+    out = range_join(iv, events)
+    # interval stencil broadcasts; the events side must not shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
