@@ -234,6 +234,13 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram surprisal (text.unigram_surprisal, self-LM)
+    — the exact-integer perplexity-proxy quality signal."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.unigram_surprisal(docs)
+
+
 def q_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: events falling inside deterministic
     supplier maintenance windows (temporal.range_join — chunked
@@ -1063,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join": q_distance_join,
         "asof_events": q_asof_events,
         "range_events": q_range_events,
+        "unigram_surprisal": q_unigram_surprisal,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1131,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_join": oracles.q_distance_join(DIST_JOIN_RADIUS, COPIES, PAGE_RES),
         "asof_events": oracles.q_asof_events(ASOF_TOL_HOURS),
         "range_events": oracles.q_range_events(),
+        "unigram_surprisal": tx.dd_unigram_surprisal(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -723,3 +723,118 @@ def dd_remove_boilerplate_lines(
         " AS n_lines_removed"
         " FROM ex GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal score (CCNet-style perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+_SURP_POOL = None  # created lazily (mirrors _TFIDF_POOL)
+SURP_SCALE = 10_000  # basis points
+
+
+def _ilog2(c: Column) -> Column:
+    """Exact integer floor(log2(x)) for x >= 1: binary-digit count - 1.
+    Transcendental-free, so the oracle twin (length(bin(x)) - 1) is
+    bit-identical — the same hashing rationale as tfidf_top_terms'
+    linear idf."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def unigram_surprisal(
+    docs: "DataFrame",
+    lm: "DataFrame | None" = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document mean unigram surprisal, the LM-free stand-in for a
+    CCNet/KenLM perplexity filter: score each token by how rare it is
+    in the reference corpus, average per document.
+
+    ``surprisal(t) = ilog2(T) - ilog2(c_t)`` (integer bits: total token
+    count over term count — floor(-log2 p(t)) up to one bit), and the
+    document score is the tf-weighted mean in basis points:
+    ``(10^4 * sum_t tf * s_t) DIV n_tokens``.  Low = stopword-heavy
+    boilerplate; high = rare-token-dense (gibberish, codes, other
+    languages).  All integer arithmetic — exact cross-engine.
+
+    ``lm``: optional external reference model, a (term, c) DataFrame
+    (e.g. built once from a trusted corpus slice and reused); None fits
+    the self-LM from ``docs``.  Out-of-vocabulary tokens score as
+    count 1 (maximum surprisal) via the left join's coalesce — with the
+    self-LM that path is unreachable (every token is in the LM).
+    Documents with zero tokens are dropped (no defined mean).
+
+    Shapes at corpus scale: one explode into a map-side-combinable
+    (doc, term, tf) count (pooled persist — tf and the self-LM both
+    derive from it, and Catalyst has no common-subplan elimination),
+    the LM term relation aggregates off it, the total is a one-row
+    broadcast cross join, and the per-doc tail is one combinable
+    groupBy(doc).  The term join is left to AQE, NOT forced broadcast
+    (web vocabularies reach 10^8 terms).
+    """
+    from .cachepool import CachePool
+
+    global _SURP_POOL
+    if _SURP_POOL is None:
+        _SURP_POOL = CachePool()
+    _SURP_POOL.new_generation()
+
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(NGRAM_WORD_RE), 0
+    )
+    per_doc = _SURP_POOL.add(
+        docs.select(F.col(doc_col), F.explode(words).alias("term"))
+        .groupBy(doc_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    if lm is None:
+        lm = per_doc.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = lm.agg(F.sum("c").alias("__t"))
+    scored = (
+        per_doc.join(lm, on="term", how="left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__s",
+            _ilog2(F.col("__t")) - _ilog2(F.coalesce(F.col("c"), F.lit(1))),
+        )
+    )
+    return (
+        scored.groupBy(doc_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("__s")).alias("__bits"),
+        )
+        .select(
+            doc_col,
+            "n_tokens",
+            F.expr(f"__bits * {SURP_SCALE} DIV n_tokens").alias("surprisal_bp"),
+        )
+    )
+
+
+def dd_unigram_surprisal() -> str:
+    """DuckDB twin of :func:`unigram_surprisal` (self-LM over documents)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(
+                regexp_extract_all(lower(text), '{NGRAM_WORD_RE}')
+            ) AS term
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        lm AS (SELECT term, SUM(tf) AS c FROM per_doc GROUP BY 1),
+        tot AS (SELECT SUM(c) AS t FROM lm)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(
+                 (SUM(tf * ((length(bin(t)) - 1) - (length(bin(c)) - 1)))
+                  * {SURP_SCALE}) // SUM(tf)
+                 AS BIGINT
+               ) AS surprisal_bp
+        FROM per_doc JOIN lm USING (term), tot
+        GROUP BY doc_id
+    """

@@ -691,3 +691,31 @@ def test_remove_boilerplate_lines_join_branches_agree(spark):
     assert a == b
     # 'body k' lines sit in 10 docs each (>5) → removed; heads kept
     assert all(r["clean_text"] == f"unique head {r['doc_id']}" for r in a)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Self-LM: 'the'x4, cat/zzz/qqq x1, T=7 → ilog2(T)=2, s(the)=0,
+    s(rare)=2; doc scores 5000 / 0 / 20000 bp."""
+    from hexspark.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the"), (3, "zzz qqq"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["surprisal_bp"])
+           for r in unigram_surprisal(df).collect()}
+    assert got == {1: (4, 5000), 2: (1, 0), 3: (2, 20000)}  # doc 4 dropped
+
+
+def test_unigram_surprisal_external_lm_oov(spark):
+    """External LM: OOV tokens score as count 1 (max surprisal), and the
+    total comes from the LM, not the scored docs."""
+    from hexspark.text import unigram_surprisal
+
+    docs = spark.createDataFrame([(1, "the xyzzy")], ["doc_id", "text"])
+    lm = spark.createDataFrame([("the", 12), ("cat", 4)], ["term", "c"])
+    # T=16, ilog2=4; s(the)=4-3=1, s(xyzzy OOV)=4-0=4 → (1+4)*10^4 DIV 2
+    got = unigram_surprisal(docs, lm=lm).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["surprisal_bp"]) for r in got] == [
+        (1, 2, 25000)
+    ]
