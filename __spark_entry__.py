@@ -241,6 +241,13 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_surprisal(docs)
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference over documents
+    (text.linear_classifier_score with the deterministic synth model)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.linear_classifier_score(docs, tx.synth_clf_weights(spark))
+
+
 def q_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: events falling inside deterministic
     supplier maintenance windows (temporal.range_join — chunked
@@ -1071,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_events": q_range_events,
         "unigram_surprisal": q_unigram_surprisal,
+        "classifier_score": q_classifier_score,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1140,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": oracles.q_asof_events(ASOF_TOL_HOURS),
         "range_events": oracles.q_range_events(),
         "unigram_surprisal": tx.dd_unigram_surprisal(),
+        "classifier_score": tx.dd_linear_classifier_score(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -838,3 +838,135 @@ def dd_unigram_surprisal() -> str:
         FROM per_doc JOIN lm USING (term), tot
         GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear classifier (fasttext-style curation scorer)
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 1 << 16
+
+
+def hashed_features(
+    docs: "DataFrame",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_buckets: int = CLF_BUCKETS,
+) -> "DataFrame":
+    """(doc, feature_id, tf): hashed unigram + bigram counts — the
+    fasttext-style feature extraction for linear text classifiers.
+    Feature ids are md5-prefix hashes (dedup._h64, cross-engine exact)
+    mod ``n_buckets``; one explode into a map-side-combinable count."""
+    from .dedup import _h64
+
+    text = F.col(text_col)
+    grams = F.concat(
+        F.regexp_extract_all(F.lower(text), F.lit(NGRAM_WORD_RE), 0),
+        ngrams_col(text, 2),
+    )
+    return (
+        docs.select(F.col(doc_col), F.explode(grams).alias("gram"))
+        .select(doc_col, (_h64(F.col("gram")) % n_buckets).alias("fid"))
+        .groupBy(doc_col, "fid")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def linear_classifier_score(
+    docs: "DataFrame",
+    weights: "DataFrame",
+    bias: int = 0,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_buckets: int = CLF_BUCKETS,
+) -> "DataFrame":
+    """Linear classifier over hashed n-gram features — the quality /
+    topic / educational-value scorer of curation pipelines (a trained
+    fasttext-style model reduced to its inference pass).
+
+    ``weights``: (fid, w) with INTEGER fixed-point weights (train in
+    floats, quantize once — inference then hashes bit-identically
+    cross-engine; this is the tfidf/surprisal exactness rationale).
+    Sparse models are fine: missing fids weigh 0 via the left join's
+    coalesce.  Output per doc: ``n_feats`` (feature instances),
+    ``margin = bias * n_feats + sum(tf * w)`` — the UNnormalized
+    decision value (same sign as the mean-normalized form, no integer
+    division), and ``label = margin > 0``.
+
+    Scale: explode → map-side-combinable (doc, fid, tf) count; the
+    weight join keys on fid against a table bounded by ``n_buckets``
+    (fasttext uses 2^21) — small enough that AQE broadcasts it; the
+    tail is one combinable groupBy(doc).  Docs with zero features are
+    dropped (no tokens — nothing to classify).
+    """
+    feats = hashed_features(docs, text_col, doc_col, n_buckets)
+    scored = feats.join(weights, on="fid", how="left").withColumn(
+        "__w", F.coalesce(F.col("w"), F.lit(0).cast("long"))
+    )
+    return (
+        scored.groupBy(doc_col)
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("__w")).alias("__dot"),
+        )
+        .select(
+            doc_col,
+            "n_feats",
+            (F.lit(int(bias)) * F.col("n_feats") + F.col("__dot")).alias(
+                "margin"
+            ),
+            (
+                F.lit(int(bias)) * F.col("n_feats") + F.col("__dot") > 0
+            ).alias("label"),
+        )
+    )
+
+
+def synth_clf_weights(spark, n_buckets: int = CLF_BUCKETS) -> "DataFrame":
+    """Deterministic stand-in weight table (Lehmer-style scramble into
+    [-1000, 1000]) — the test/bench model; production passes trained,
+    quantized weights."""
+    from pyspark.sql import functions as F2
+
+    return spark.range(n_buckets).select(
+        F2.col("id").alias("fid"),
+        ((F2.col("id") * 2654435761) % 2001 - 1000).alias("w"),
+    )
+
+
+def dd_linear_classifier_score(bias: int = 0, n_buckets: int = CLF_BUCKETS) -> str:
+    """DuckDB twin of :func:`linear_classifier_score` with the
+    :func:`synth_clf_weights` model over documents."""
+    from .dedup import dd_h64
+
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, UNNEST(ws) AS gram FROM words
+            UNION ALL
+            SELECT doc_id,
+                   array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+            FROM words, LATERAL (SELECT UNNEST(RANGE(1, len(ws)))) t(i)
+            WHERE len(ws) >= 2
+        ),
+        feats AS (
+            SELECT doc_id, ({dd_h64('gram')}) % {n_buckets} AS fid,
+                   COUNT(*) AS tf
+            FROM grams GROUP BY 1, 2
+        ),
+        wt AS (
+            SELECT i AS fid, ((i * 2654435761) % 2001) - 1000 AS w
+            FROM range(0, {n_buckets}) t(i)
+        )
+        SELECT f.doc_id,
+               CAST(SUM(f.tf) AS BIGINT) AS n_feats,
+               CAST({bias} * SUM(f.tf) + SUM(f.tf * COALESCE(w.w, 0)) AS BIGINT)
+                 AS margin,
+               ({bias} * SUM(f.tf) + SUM(f.tf * COALESCE(w.w, 0))) > 0 AS label
+        FROM feats f LEFT JOIN wt w USING (fid)
+        GROUP BY f.doc_id
+    """

@@ -719,3 +719,38 @@ def test_unigram_surprisal_external_lm_oov(spark):
     assert [(r["doc_id"], r["n_tokens"], r["surprisal_bp"]) for r in got] == [
         (1, 2, 25000)
     ]
+
+
+def test_hashed_features_counts(spark):
+    """'a b a' → unigrams a,b,a + bigrams 'a b','b a' = 5 instances;
+    hashing is deterministic and bucketed."""
+    from hexspark.text import CLF_BUCKETS, hashed_features
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    rows = hashed_features(df).collect()
+    assert sum(r["tf"] for r in rows) == 5
+    assert all(0 <= r["fid"] < CLF_BUCKETS for r in rows)
+    # 'a' appears twice → one fid carries tf>=2
+    assert max(r["tf"] for r in rows) >= 2
+    again = hashed_features(df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_linear_classifier_score_semantics(spark):
+    """All-ones weights → margin == n_feats; empty model → margin ==
+    bias * n_feats (OOV coalesce); labels follow the margin sign."""
+    from hexspark.text import linear_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good words here"), (2, "x")], ["doc_id", "text"]
+    )
+    ones = spark.range(1 << 16).selectExpr("id AS fid", "CAST(1 AS LONG) AS w")
+    got = {r["doc_id"]: r for r in
+           linear_classifier_score(docs, ones).collect()}
+    assert got[1]["margin"] == got[1]["n_feats"] == 5  # 3 uni + 2 bi
+    assert got[2]["margin"] == got[2]["n_feats"] == 1 and got[2]["label"]
+    empty = ones.filter("fid < 0")
+    got = {r["doc_id"]: r for r in
+           linear_classifier_score(docs, empty, bias=-3).collect()}
+    assert got[1]["margin"] == -15 and not got[1]["label"]
+    assert got[2]["margin"] == -3 and not got[2]["label"]
