@@ -33,7 +33,9 @@ from hexspark.multimodal import (
     dd_media_features, dd_media_resize, extract_features, synth_media,
 )
 from hexspark.pages import synth_pages
-from hexspark.temporal import asof_join, range_join, synth_intervals
+from hexspark.temporal import (
+    asof_join, range_join, rolling_stats, synth_intervals,
+)
 
 COPIES = 2
 PAGE_RES = 12
@@ -239,6 +241,17 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the exact-integer perplexity-proxy quality signal."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tx.unigram_surprisal(docs)
+
+
+ROLLING_WINDOW_S = 86400  # 24 hours
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24h same-user count and value sum
+    (temporal.rolling_stats — native range-frame window over exact
+    epoch micros; one shuffle on the key)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_stats(ev, window="24 hours")
 
 
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +653,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=16, codec=None).select(
         "media_id", "kind", "n_bytes"
     )
+
+
+def _dd_rolling_stats() -> str:
+    from hexspark.temporal import dd_rolling_stats
+
+    return dd_rolling_stats(ROLLING_WINDOW_S)
 
 
 def _dd_event_windows() -> str:
@@ -1079,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_events": q_range_events,
         "unigram_surprisal": q_unigram_surprisal,
         "classifier_score": q_classifier_score,
+        "rolling_stats": q_rolling_stats,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1149,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "range_events": oracles.q_range_events(),
         "unigram_surprisal": tx.dd_unigram_surprisal(),
         "classifier_score": tx.dd_linear_classifier_score(),
+        "rolling_stats": _dd_rolling_stats(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -211,3 +211,81 @@ def dd_intervals_cte() -> str:
         f" {start} + TO_MINUTES(30 + (s_suppkey % 180)) AS end_ts"
         " FROM supplier"
     )
+
+
+def rolling_stats(
+    events: DataFrame,
+    window: str = "24 hours",
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window features: for each event, the count and
+    value-sum of the SAME key's events in the preceding ``window``
+    (exclusive of the event itself) — the standard temporal feature
+    block (burst detection, per-user rate features, velocity checks).
+
+    Native range-frame window over exact integer epoch microseconds:
+    one hash exchange on the key + per-key sort, the same minimal shape
+    as :func:`asof_join`; the frame subtraction (current row excluded)
+    stays in integer arithmetic end to end, so the DuckDB twin (RANGE
+    BETWEEN n PRECEDING) is bit-identical.  ``window`` is a SQL
+    interval string resolved to microseconds at plan time.
+
+    The value sum is ``sum_value_prev_c`` in floored integer cents
+    (``FLOOR(value * 100)`` summed): a float SUM over a window
+    frame is addition-order-dependent and the two engines' frame
+    evaluation orders differ, so the exactness rule here is the same as
+    tfidf's — integerize first, then every aggregate is associative
+    and order-free.
+    """
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", window, _re.I
+    )
+    if not m:
+        raise ValueError(
+            f"rolling_stats: window must be '<n> seconds|minutes|hours|days',"
+            f" got {window!r}"
+        )
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    win_us = int(m.group(1)) * mult[m.group(2).lower()] * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(us.alias("__us"))
+        .rangeBetween(-win_us, Window.currentRow)
+    )
+    # explicit FLOOR, not a bare cast: Spark's double->bigint cast
+    # truncates while DuckDB's rounds — floor is the same in both
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    # the frame includes the current row; subtract it out exactly
+    n_win = F.count("*").over(w) - 1
+    sum_win = F.sum(cents).over(w) - cents
+    return events.select(
+        id_col,
+        on,
+        us.alias("ts_us"),
+        n_win.cast("long").alias("n_prev"),
+        sum_win.cast("long").alias("sum_value_prev_c"),
+    )
+
+
+def dd_rolling_stats(window_seconds: int) -> str:
+    """DuckDB twin of :func:`rolling_stats` over events (24h default is
+    window_seconds=86400)."""
+    win_us = window_seconds * 1_000_000
+    return f"""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_prev,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w
+                    - CAST(FLOOR(value * 100) AS BIGINT) AS BIGINT)
+                 AS sum_value_prev_c
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN {win_us} PRECEDING AND CURRENT ROW
+        )
+    """

@@ -120,3 +120,45 @@ def test_range_join_broadcast_plan(spark, sf_dir, events):
     # interval stencil broadcasts; the events side must not shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_stats_vs_brute(events):
+    """Trailing-2h features == brute-force self-join (count + exact
+    cents sum, current row excluded, boundary inclusive)."""
+    from hexspark.temporal import rolling_stats
+
+    sub = events.filter(F.col("user_id") < 20)
+    got = {r["event_id"]: (r["n_prev"], r["sum_value_prev_c"])
+           for r in rolling_stats(sub, window="2 hours").collect()}
+    cents = F.floor(F.col("b.value") * 100).cast("long")
+    brute = (
+        sub.alias("p")
+        .join(
+            sub.alias("b"),
+            (F.col("b.user_id") == F.col("p.user_id"))
+            & (F.col("b.ts") <= F.col("p.ts"))
+            & (F.col("b.event_id") != F.col("p.event_id"))
+            & (
+                F.col("b.ts")
+                >= F.col("p.ts") - F.expr("INTERVAL '2' HOUR")
+            ),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(
+            F.count(F.col("b.event_id")).alias("n_prev"),
+            F.coalesce(F.sum(cents), F.lit(0)).alias("sum_c"),
+        )
+    )
+    b = {r["event_id"]: (r["n_prev"], r["sum_c"]) for r in brute.collect()}
+    assert got == b and len(got) == sub.count()
+    assert any(v[0] > 0 for v in got.values())
+
+
+def test_rolling_stats_window_parse(events):
+    import pytest as _pytest
+
+    from hexspark.temporal import rolling_stats
+
+    with _pytest.raises(ValueError):
+        rolling_stats(events, window="fortnight")
