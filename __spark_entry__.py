@@ -246,6 +246,24 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_WINDOW_S = 86400  # 24 hours
 
 
+def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-doc repeated passages >= 16 tokens
+    (text.shared_passages — inverted-index gram join + diagonal
+    gaps-and-islands; the distributed exact-substring-dedup pass)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.shared_passages(docs, n=8, min_len=16)
+
+
+def q_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup APPLY pass: mine cross-doc passages >= 16
+    tokens, then cut each from the higher-keyed doc so one copy
+    survives (text.remove_passages — spans groupBy + corpus left join
+    + native filter/exists HOF; corpus never shuffles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = tx.shared_passages(docs, n=8, min_len=16)
+    return tx.remove_passages(docs, spans)
+
+
 def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-24h same-user count and value sum
     (temporal.rolling_stats — native range-frame window over exact
@@ -1099,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "classifier_score": q_classifier_score,
         "rolling_stats": q_rolling_stats,
+        "shared_passages": q_shared_passages,
+        "remove_passages": q_remove_passages,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1170,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": tx.dd_unigram_surprisal(),
         "classifier_score": tx.dd_linear_classifier_score(),
         "rolling_stats": _dd_rolling_stats(),
+        "shared_passages": tx.dd_shared_passages(8, 16),
+        "remove_passages": tx.dd_remove_passages(8, 16),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -302,6 +302,49 @@ def run(spark) -> tuple[dict, dict]:
 
     timed("q18_pii_scrub", _pii)
 
+    # q19: radius distance join — bounded probe set against the full
+    # pages table (grid-stencil broadcast; pages never shuffle)
+    from hexspark.geo import distance_join
+
+    def _distance_join():
+        probes = pages.filter(F.col("page_key") % 199 == 0).select(
+            F.col("page_key").alias("probe_id"),
+            F.col("lat").alias("plat"), F.col("lon").alias("plon"),
+        )
+        return distance_join(
+            probes, pages, 0.5, probe_key="probe_id", point_key="page_key",
+            probe_cols=("plat", "plon"), point_cols=("lat", "lon"),
+        ).count()
+
+    timed("q19_distance_join", _distance_join)
+
+    # q20/q21: temporal operators over the events table — one exchange
+    # + per-key sort each (asof union-window / rolling range frame)
+    from hexspark.temporal import asof_join, rolling_stats
+
+    def _asof():
+        probes = events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        build = events.filter(F.col("event_type") == "click")
+        return asof_join(probes, build, tolerance="'6' HOUR").count()
+
+    timed("q20_asof_join", _asof)
+    timed("q21_rolling_stats", lambda: rolling_stats(events).count())
+
+    # q22/q23: document scorers (explode → combinable aggs; classifier
+    # adds the broadcast weight join)
+    from hexspark.text import (
+        linear_classifier_score, synth_clf_weights, unigram_surprisal,
+    )
+
+    timed("q22_surprisal", lambda: unigram_surprisal(docs).count())
+    clf_w = synth_clf_weights(spark)
+    timed(
+        "q23_classifier",
+        lambda: linear_classifier_score(docs, clf_w).count(),
+    )
+
     # q15: the corpus-curation pipeline END TO END (features → simhash
     # pairs → clusters → keepers → stats) INCLUDING its checkpoint
     # Parquet writes — the dedup family's pinned wall number is the

@@ -970,3 +970,226 @@ def dd_linear_classifier_score(bias: int = 0, n_buckets: int = CLF_BUCKETS) -> s
         FROM feats f LEFT JOIN wt w USING (fid)
         GROUP BY f.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-document shared-passage mining (exact repeated-substring dedup)
+# ---------------------------------------------------------------------------
+
+def shared_passages(
+    docs: "DataFrame",
+    n: int = 8,
+    min_len: int = 16,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    max_df: "int | None" = None,
+) -> "DataFrame":
+    """Maximal cross-document shared word passages of >= ``min_len``
+    tokens — the distributed form of exact-substring dedup (the
+    suffix-array pass of Lee et al. 2022, re-expressed relationally):
+
+    1. position-indexed word ``n``-grams per doc (one explode),
+    2. gram self-join (doc_a < doc_b) — only grams SHARED across docs
+       survive, so the join is an inverted-index probe, not all-pairs,
+    3. matches at the same diagonal ``pos_a - pos_b`` that run on
+       consecutive positions are one contiguous passage: classic
+       gaps-and-islands (island id = pos_a - row_number over the
+       (a, b, diag) partition), grouped to spans of
+       ``run + n - 1`` tokens.
+
+    Output: doc_a, doc_b, start_a, start_b (1-based token positions),
+    len_tokens.  Exact: every maximal shared passage >= min_len is
+    reported once.
+
+    Scale: the join fans out on gram FREQUENCY — ``max_df`` drops grams
+    seen in more than that many documents (the jaccard_pairs
+    posting-list cap; at web scale ultra-common grams are exactly the
+    boilerplate a separate pass removes, but the default None keeps the
+    operator exact).  The island window partitions by (a, b, diag) —
+    bounded by each PAIR's shared content, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    grams = ngrams_col(F.col(text_col), n)
+    g = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "gram")
+    if max_df is not None:
+        keep = (
+            g.groupBy("gram")
+            .agg(F.count_distinct("doc").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        g = g.join(keep, on="gram", how="leftsemi")
+    a = g.select(
+        F.col("gram"), F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = g.select(
+        F.col("gram"), F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    m = a.join(b, on="gram").filter(F.col("doc_a") < F.col("doc_b"))
+    m = m.select(
+        "doc_a", "doc_b", "pos_a", "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + (n - 1)).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+    )
+    return spans.select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+
+
+def dd_shared_passages(n: int = 8, min_len: int = 16, max_df: "int | None" = None) -> str:
+    """DuckDB twin of :func:`shared_passages` over documents."""
+    cap = (
+        f"""grams AS (
+            SELECT * FROM grams0 WHERE gram IN (
+                SELECT gram FROM grams0
+                GROUP BY gram HAVING COUNT(DISTINCT doc) <= {max_df}
+            )
+        ),"""
+        if max_df is not None
+        else "grams AS (SELECT * FROM grams0),"
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id AS doc,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS ws
+            FROM documents
+        ),
+        grams0 AS (
+            SELECT doc, CAST(i AS BIGINT) AS pos,
+                   array_to_string(
+                     ws[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(ws) - {n - 2}))
+            ) t(i)
+            WHERE len(ws) >= {n}
+        ),
+        {cap}
+        m AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pos_a,
+                   b.pos AS pos_b, a.pos - b.pos AS diag
+            FROM grams a JOIN grams b USING (gram)
+            WHERE a.doc < b.doc
+        ),
+        isl AS (
+            SELECT *, pos_a - ROW_NUMBER() OVER (
+                PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+            ) AS island
+            FROM m
+        )
+        SELECT doc_a, doc_b,
+               CAST(MIN(pos_a) AS BIGINT) AS start_a,
+               CAST(MIN(pos_b) AS BIGINT) AS start_b,
+               CAST(COUNT(*) + {n - 1} AS BIGINT) AS len_tokens
+        FROM isl
+        GROUP BY doc_a, doc_b, diag, island
+        HAVING COUNT(*) + {n - 1} >= {min_len}
+    """
+
+
+def remove_passages(
+    docs: "DataFrame",
+    spans: "DataFrame",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Apply pass of exact substring dedup: given :func:`shared_passages`
+    output, cut every duplicated span from the HIGHER-keyed doc of each
+    pair (``doc_b``), so exactly one copy — the lowest doc id where the
+    passage appears — survives corpus-wide (the remove-all-but-one rule
+    of Lee et al. 2022).  Output is the normalized token stream
+    (lowercased ``NGRAM_WORD_RE`` tokens space-joined), NOT the original
+    byte text — positions are only defined in that tokenization.
+
+    Plan shape: one small groupBy over the spans relation (pairs, not
+    corpus scale) -> left join into the corpus (AQE broadcasts it) ->
+    a native ``filter``/``exists`` higher-order expression per doc.
+    The corpus itself never shuffles; overlapping intervals need no
+    driver-side merge (the exists() check unions them implicitly).
+
+    Returns: ``doc_col``, ``clean_text``, ``removed_tokens``.
+    """
+    ivs = spans.groupBy(F.col("doc_b").alias(doc_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_b").alias("s"), F.col("len_tokens").alias("l")
+            )
+        ).alias("__ivs")
+    )
+    j = docs.join(ivs, on=doc_col, how="left")
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(NGRAM_WORD_RE), 0
+    )
+    iv = F.coalesce(
+        F.col("__ivs"), F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, l: BIGINT>>)")
+    )
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            iv, lambda v: (i + 1 >= v["s"]) & (i + 1 < v["s"] + v["l"])
+        ),
+    )
+    return j.select(
+        F.col(doc_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(words) - F.size(kept)).cast("bigint").alias("removed_tokens"),
+    )
+
+
+def dd_remove_passages(n: int = 8, min_len: int = 16) -> str:
+    """DuckDB twin of :func:`remove_passages` applied to
+    :func:`shared_passages` (same ``n``/``min_len``) over documents —
+    relational form (posexplode + anti-semi-join + ordered string_agg)
+    of the Spark higher-order-function plan."""
+    spans = dd_shared_passages(n, min_len)
+    return f"""
+        WITH ivs AS (
+            SELECT doc_b AS doc_id, start_b AS s, len_tokens AS l
+            FROM ({spans}) sp
+        ),
+        words AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS ws
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   ws[CAST(i AS INT)] AS w
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(ws) + 1))
+            ) t(i)
+        ),
+        kept AS (
+            SELECT p.* FROM pos p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ivs v
+                WHERE v.doc_id = p.doc_id
+                  AND p.pos >= v.s AND p.pos < v.s + v.l
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               COALESCE(a.clean_text, '') AS clean_text,
+               CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM words w LEFT JOIN agg a USING (doc_id)
+    """

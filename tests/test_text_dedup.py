@@ -754,3 +754,58 @@ def test_linear_classifier_score_semantics(spark):
            linear_classifier_score(docs, empty, bias=-3).collect()}
     assert got[1]["margin"] == -15 and not got[1]["label"]
     assert got[2]["margin"] == -3 and not got[2]["label"]
+
+
+def test_shared_passages_planted(spark):
+    """Two docs share one 20-word passage; a third shares nothing; a
+    fourth shares TWO disjoint passages with doc 1."""
+    from hexspark.text import shared_passages
+
+    common = " ".join(f"w{i}" for i in range(20))       # 20 shared words
+    second = " ".join(f"q{i}" for i in range(18))       # 18 shared words
+    d1 = f"alpha beta {common} gamma delta {second} end1"
+    d2 = f"x1 x2 x3 {common} y1 y2"
+    d3 = "totally different words " + " ".join(f"z{i}" for i in range(30))
+    d4 = f"{second} tail tail2"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+    )
+    got = sorted(
+        map(tuple, shared_passages(df, n=8, min_len=16).collect())
+    )
+    # d1: 'alpha beta' + 20 common -> passage at pos 3; d2 at pos 4
+    # d1/d4: second passage (18 words) at d1 pos 25 (2+20+2+1), d4 pos 1
+    assert got == [
+        (1, 2, 3, 4, 20),
+        (1, 4, 25, 1, 18),
+    ]
+    # min_len above the longest span -> nothing
+    assert shared_passages(df, n=8, min_len=21).count() == 0
+    # max_df cap: the 20-word passage is in 2 docs; cap at 1 removes it
+    capped = shared_passages(df, n=8, min_len=16, max_df=1).count()
+    assert capped == 0
+
+
+def test_remove_passages_planted(spark):
+    """The doc-2 copy of the 20-word passage and the doc-4 copy of the
+    18-word passage are cut; the doc-1 originals survive; untouched
+    docs pass through verbatim (in normalized-token form)."""
+    from hexspark.text import remove_passages, shared_passages
+
+    common = " ".join(f"w{i}" for i in range(20))
+    second = " ".join(f"q{i}" for i in range(18))
+    d1 = f"alpha beta {common} gamma delta {second} end1"
+    d2 = f"x1 x2 x3 {common} y1 y2"
+    d3 = "only unique words here"
+    d4 = f"{second} tail tail2"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+    )
+    spans = shared_passages(df, n=8, min_len=16)
+    got = {r["doc_id"]: r for r in remove_passages(df, spans).collect()}
+    assert got[1]["clean_text"] == d1 and got[1]["removed_tokens"] == 0
+    assert got[2]["clean_text"] == "x1 x2 x3 y1 y2"
+    assert got[2]["removed_tokens"] == 20
+    assert got[3]["clean_text"] == d3 and got[3]["removed_tokens"] == 0
+    assert got[4]["clean_text"] == "tail tail2"
+    assert got[4]["removed_tokens"] == 18
