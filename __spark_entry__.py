@@ -26,7 +26,7 @@ from hexspark import text as tx
 from hexspark import dedup as dd
 from hexspark.embed import (
     ann_topk_brute, dd_ann_topk_brute, dd_ann_topk_ivf, dd_ann_topk_lsh,
-    dd_embedding_dups,
+    dd_embedding_dups, dd_semantic_dedup,
 )
 from hexspark.geo import distance_join, knn_join, pip_column
 from hexspark.multimodal import (
@@ -252,6 +252,33 @@ def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands; the distributed exact-substring-dedup pass)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tx.shared_passages(docs, n=8, min_len=16)
+
+
+DSIR_TARGET_MOD = 10  # deterministic target subset: doc_id % 10 == 0
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: rank every document by the hashed
+    n-gram log-likelihood ratio between a target LM (the deterministic
+    doc_id % 10 == 0 subset) and the raw LM, in exact integer bits
+    (text.importance_weights — one pooled explode, LMs bounded by the
+    bucket count)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    return tx.importance_weights(docs, target)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: nearest-centroid assign
+    ('first_k' deterministic quantizer so DuckDB can replay it), exact
+    rounded cosine only within each cluster, keep the lowest-keyed
+    member of each near-dup group (embed.semantic_dedup)."""
+    from hexspark.embed import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb, DUP_THRESHOLD, n_centroids=IVF_CENTROIDS, quantizer="first_k"
+    )
 
 
 def q_remove_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "shared_passages": q_shared_passages,
         "remove_passages": q_remove_passages,
+        "semantic_dedup": q_semantic_dedup,
+        "importance_weights": q_importance_weights,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1192,6 +1221,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_stats": _dd_rolling_stats(),
         "shared_passages": tx.dd_shared_passages(8, 16),
         "remove_passages": tx.dd_remove_passages(8, 16),
+        "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
+        "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -637,3 +637,111 @@ def ann_topk_lsh(
         payload=[key_col, "sim"],
         k=k,
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    quantizer: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-
+    quantize every vector to its nearest centroid, compute exact
+    rounded cosine only WITHIN each cluster (key_a < key_b), and keep
+    the lowest-keyed member of each near-dup group — each dropped row
+    carries its minimal witness.
+
+    Output: ``key_col``, ``centroid_id``, ``witness`` (min lower-keyed
+    same-cluster neighbor with sim >= threshold; NULL = kept),
+    ``kept`` boolean.  One row per corpus row.
+
+    Scale: the pair search is an equi-join on centroid_id — quadratic
+    only within a cluster, never corpus-wide; size ``n_centroids``
+    ~ corpus_rows / target_cluster_size to bound it (the SemDeDup
+    design point).  The witness groupBy combines map-side, and the
+    final join-back of the (small) dropped set is AQE-broadcast.
+    ``quantizer='kmeans'`` uses the footer-bounded seeded MLlib fit
+    (:func:`ivf_index`); ``'first_k'`` is the deterministic,
+    DuckDB-twinnable path (:func:`first_k_centroids`).
+    """
+    if quantizer == "kmeans":
+        assigned, _ = ivf_index(corpus, n_centroids, vec_col)
+    elif quantizer == "first_k":
+        centroids = first_k_centroids(corpus, n_centroids, vec_col, key_col)
+        assigned = corpus.withColumn(
+            "centroid_id",
+            F.element_at(_nearest_centroids(vec_col, centroids, 1), 1),
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    assigned = assigned.select(
+        F.col(key_col),
+        F.col("centroid_id").cast("bigint").alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    a = assigned.select(
+        "centroid_id", F.col(key_col).alias("__ida"), F.col("__vec").alias("__va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(key_col).alias("__idb"), F.col("__vec").alias("__vb")
+    )
+    pairs = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("__sim") >= threshold)
+    )
+    dups = pairs.groupBy(F.col("__idb").alias(key_col)).agg(
+        F.min("__ida").alias("witness")
+    )
+    return (
+        assigned.drop("__vec")
+        .join(dups, on=key_col, how="left")
+        .withColumn("kept", F.col("witness").isNull())
+    )
+
+
+def dd_semantic_dedup(threshold: float, n_centroids: int = 16) -> str:
+    """DuckDB twin of :func:`semantic_dedup` with the 'first_k'
+    quantizer over the embeddings table — same assign rule as
+    :func:`dd_ann_topk_ivf` (rounded squared-L2 argmin, centroid-id
+    tie-break), same rounded-cosine pair rule as
+    :func:`dd_embedding_dups`, restricted to same-cluster pairs."""
+    cos = (
+        "ROUND(list_dot_product(ea.vec, eb.vec)"
+        " / (sqrt(list_dot_product(ea.vec, ea.vec))"
+        "  * sqrt(list_dot_product(eb.vec, eb.vec))), 6)"
+    )
+    return f"""
+        WITH c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < {n_centroids}
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {_dd_sq_dist('e.vec', 'c.cvec')} ASC, c.cid ASC
+                       ) AS rn
+                FROM e, c
+            ) WHERE rn = 1
+        ),
+        dups AS (
+            SELECT b.vec_id, MIN(a.vec_id) AS witness
+            FROM assign a
+            JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE {cos} >= {threshold}
+            GROUP BY b.vec_id
+        )
+        SELECT s.vec_id, CAST(s.cid AS BIGINT) AS centroid_id,
+               d.witness, d.witness IS NULL AS kept
+        FROM assign s LEFT JOIN dups d USING (vec_id)
+    """

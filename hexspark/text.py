@@ -1193,3 +1193,187 @@ def dd_remove_passages(n: int = 8, min_len: int = 16) -> str:
                  AS removed_tokens
         FROM words w LEFT JOIN agg a USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram LLR data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_POOL = None  # created lazily (mirrors _SURP_POOL)
+
+# fixed-point log2 at 1/16-bit resolution: thresholds floor(2^59 * 2^(i/16))
+# for the mantissa normalized into [2^59, 2^60).  Baked identically into the
+# Spark and DuckDB expressions, so the floor is exact cross-engine by
+# construction (the constant is what defines the function).
+FP16_LOG2_THRESHOLDS = [int(2**59 * 2 ** (i / 16)) for i in range(1, 16)]
+RATIO_SHIFT = 16  # ratios quantized to 2^-16; clamped at 1 (log2 >= -16)
+
+
+def _fp16_log2_sql(x: str, shl, shr) -> str:
+    """SQL text for floor(16 * log2(x)), x >= 1 — exact integer form:
+    16 * ilog2 + threshold-counted mantissa fraction.  ``shl``/``shr``
+    render engine-specific shifts (Spark: shiftleft/shiftright
+    functions; DuckDB: << / >> operators)."""
+    e = f"(length(bin({x})) - 1)"
+    m = (
+        f"(CASE WHEN {e} <= 59 THEN {shl(x, f'59 - {e}')} "
+        f"ELSE {shr(x, f'{e} - 59')} END)"
+    )
+    whens = " ".join(
+        f"WHEN {m} >= {t} THEN {i}"
+        for i, t in sorted(
+            enumerate(FP16_LOG2_THRESHOLDS, 1), key=lambda p: -p[0]
+        )
+    )
+    return f"(CAST({e} AS BIGINT) * 16 + (CASE {whens} ELSE 0 END))"
+
+
+def _spark_shl(x: str, n: str) -> str:
+    return f"shiftleft(CAST({x} AS BIGINT), CAST({n} AS INT))"
+
+
+def _spark_shr(x: str, n: str) -> str:
+    return f"shiftright(CAST({x} AS BIGINT), CAST({n} AS INT))"
+
+
+def _dd_shl(x: str, n: str) -> str:
+    return f"(CAST({x} AS BIGINT) << ({n}))"
+
+
+def _dd_shr(x: str, n: str) -> str:
+    return f"(CAST({x} AS BIGINT) >> ({n}))"
+
+
+def importance_weights(
+    docs: "DataFrame",
+    target_ids: "DataFrame",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n_buckets: int = CLF_BUCKETS,
+) -> "DataFrame":
+    """Data Selection with Importance Resampling (Xie et al. 2023)
+    scoring pass: rank raw documents by how target-like they are under
+    hashed n-gram bag-of-features language models.
+
+    Per hashed feature ``f`` the log-likelihood ratio
+    ``llr(f) = log2[(ct+1)/Tt] - log2[(cr+1)/Tr]`` is computed in
+    EXACT fixed-point 1/16-bit integer arithmetic (add-one smoothing
+    keeps target-unseen features finite): the count ratio is quantized
+    to ``((ct+1) << 16) DIV (cr+1)`` (clamped at 1 — llr saturates at
+    -16 bits for features 2^16x overrepresented in the raw corpus) and
+    floor(16*log2) of it is 16*ilog2 plus a 15-threshold mantissa
+    CASE — transcendental-free, so the DuckDB twin is bit-identical
+    (the whole-bit :func:`_ilog2` form cancels to zero at small
+    counts; 1/16-bit keeps the selection signal).  Per document:
+    ``logweight_fp16 = sum_f tf*L(ratio_f) - n_feats*L(ratio_T)``
+    (the totals term is a corpus constant) in 1/16-bit units; resample
+    proportional to ``2^(logweight_fp16/16)`` downstream.
+
+    Shapes at corpus scale: ONE explode (the pooled (doc, fid, tf)
+    relation is reused for the raw LM, the target LM — a leftsemi on
+    target ids, no second scan — and the final per-doc sum); both LMs
+    are map-side-combinable groupBys bounded by ``n_buckets`` rows;
+    totals are one-row broadcast cross joins; the score join keys on
+    fid against a <= n_buckets relation (AQE broadcasts it).
+    Overflow-safe under ANSI: the shifted numerator is bounded by
+    2^(46+16) for corpora up to ~10^14 feature instances.
+    """
+    from .cachepool import CachePool
+
+    global _DSIR_POOL
+    if _DSIR_POOL is None:
+        _DSIR_POOL = CachePool()
+    _DSIR_POOL.new_generation()
+
+    feats = _DSIR_POOL.add(
+        hashed_features(docs, text_col, doc_col, n_buckets).persist()
+    )
+    raw_lm = feats.groupBy("fid").agg(F.sum("tf").alias("cr"))
+    tgt_lm = (
+        feats.join(
+            target_ids.select(doc_col).distinct(), on=doc_col, how="leftsemi"
+        )
+        .groupBy("fid")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    t_raw = raw_lm.agg(F.sum("cr").alias("__tr"))
+    t_tgt = tgt_lm.agg(F.sum("ct").alias("__tt"))
+    rf = (
+        f"greatest(shiftleft(coalesce(ct, CAST(0 AS BIGINT)) + 1,"
+        f" {RATIO_SHIFT}) DIV (cr + 1), CAST(1 AS BIGINT))"
+    )
+    rt = (
+        f"greatest(shiftleft(__tt, {RATIO_SHIFT}) DIV __tr,"
+        f" CAST(1 AS BIGINT))"
+    )
+    score = (
+        raw_lm.join(tgt_lm, on="fid", how="left")
+        .crossJoin(F.broadcast(t_raw))
+        .crossJoin(F.broadcast(t_tgt))
+        .select(
+            "fid",
+            F.expr(_fp16_log2_sql(rf, _spark_shl, _spark_shr)).alias("s"),
+            F.expr(_fp16_log2_sql(rt, _spark_shl, _spark_shr)).alias("st"),
+        )
+    )
+    return (
+        feats.join(score, on="fid")
+        .groupBy(doc_col)
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("s") - F.col("tf") * F.col("st")).alias(
+                "logweight_fp16"
+            ),
+        )
+    )
+
+
+def dd_importance_weights(mod: int = 10, n_buckets: int = CLF_BUCKETS) -> str:
+    """DuckDB twin of :func:`importance_weights` over documents with
+    the deterministic target subset ``doc_id % mod == 0``."""
+    from .dedup import dd_h64
+
+    rf = (
+        f"GREATEST(((COALESCE(ct, 0) + 1) << {RATIO_SHIFT}) // (cr + 1),"
+        f" CAST(1 AS BIGINT))"
+    )
+    rt = f"GREATEST((tt.t << {RATIO_SHIFT}) // tr.t, CAST(1 AS BIGINT))"
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, UNNEST(ws) AS gram FROM words
+            UNION ALL
+            SELECT doc_id,
+                   array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+            FROM words, LATERAL (SELECT UNNEST(RANGE(1, len(ws)))) t(i)
+            WHERE len(ws) >= 2
+        ),
+        feats AS (
+            SELECT doc_id, ({dd_h64('gram')}) % {n_buckets} AS fid,
+                   COUNT(*) AS tf
+            FROM grams GROUP BY 1, 2
+        ),
+        raw_lm AS (SELECT fid, SUM(tf) AS cr FROM feats GROUP BY 1),
+        tgt_lm AS (
+            SELECT fid, SUM(tf) AS ct FROM feats
+            WHERE doc_id % {mod} = 0 GROUP BY 1
+        ),
+        tr AS (SELECT SUM(cr) AS t FROM raw_lm),
+        tt AS (SELECT SUM(ct) AS t FROM tgt_lm),
+        score AS (
+            SELECT r.fid,
+                   {_fp16_log2_sql(rf, _dd_shl, _dd_shr)} AS s,
+                   {_fp16_log2_sql(rt, _dd_shl, _dd_shr)} AS st
+            FROM raw_lm r LEFT JOIN tgt_lm g USING (fid), tr, tt
+        )
+        SELECT f.doc_id,
+               CAST(SUM(f.tf) AS BIGINT) AS n_feats,
+               CAST(SUM(f.tf * s.s - f.tf * s.st) AS BIGINT)
+                 AS logweight_fp16
+        FROM feats f JOIN score s USING (fid)
+        GROUP BY f.doc_id
+    """

@@ -809,3 +809,89 @@ def test_remove_passages_planted(spark):
     assert got[3]["clean_text"] == d3 and got[3]["removed_tokens"] == 0
     assert got[4]["clean_text"] == "tail tail2"
     assert got[4]["removed_tokens"] == 18
+
+
+def test_semantic_dedup_planted(spark):
+    """first_k quantizer with 2 centroids: near-identical vectors in
+    the same cluster collapse to the lowest key; cross-cluster or
+    below-threshold neighbors survive."""
+    from hexspark.embed import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # centroid 0
+        (1, [0.0, 1.0, 0.0, 0.0]),     # centroid 1
+        (2, [1.0, 0.01, 0.0, 0.0]),    # ~= id 0 -> dropped, witness 0
+        (3, [0.9, 0.44, 0.0, 0.0]),    # cluster 0 but cos(0,3)~0.898 -> kept
+        (4, [0.0, 1.0, 0.001, 0.0]),   # ~= id 1 -> dropped, witness 1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, 0.95, n_centroids=2, quantizer="first_k"
+        ).collect()
+    }
+    assert len(got) == 5
+    assert got[0]["kept"] and got[0]["witness"] is None
+    assert got[1]["kept"] and got[3]["kept"]
+    assert not got[2]["kept"] and got[2]["witness"] == 0
+    assert not got[4]["kept"] and got[4]["witness"] == 1
+    assert got[2]["centroid_id"] == 0 and got[4]["centroid_id"] == 1
+    # kmeans quantizer: same planted dups still collapse (coarse
+    # clusters put near-identical vectors together regardless of fit)
+    km = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, 0.95, n_centroids=2, quantizer="kmeans"
+        ).collect()
+    }
+    assert not km[2]["kept"] and not km[4]["kept"]
+    assert km[0]["kept"] and km[1]["kept"] and km[3]["kept"]
+
+
+def test_importance_weights_planted(spark):
+    """Docs whose tokens match the target subset's vocabulary score
+    strictly higher than docs made of target-absent tokens."""
+    from hexspark.text import importance_weights
+
+    tgt_text = "physics theorem lemma proof integral manifold"
+    web_text = "click here buy now free offer deal sale"
+    rows = [
+        (0, tgt_text),                       # target member
+        (10, tgt_text + " tensor algebra"),  # target member
+        (1, "theorem proof manifold integral lemma"),   # target-like raw
+        (2, "buy now click here free deal"),            # web-like raw
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    got = {
+        r["doc_id"]: r for r in importance_weights(docs, target).collect()
+    }
+    assert set(got) == {0, 10, 1, 2}
+    # per-feature LLR bits: target-like docs must outscore web-like
+    per_feat = {
+        k: got[k]["logweight_fp16"] / got[k]["n_feats"] for k in got
+    }
+    assert per_feat[1] > per_feat[2]
+    assert per_feat[0] > per_feat[2]
+
+
+def test_fp16_log2_property():
+    """floor(16*log2(x)) via the threshold form tracks true log2 within
+    1/16 bit across magnitudes, and Spark/DuckDB dialects agree."""
+    import math
+
+    import duckdb
+
+    from hexspark.text import _dd_shl, _dd_shr, _fp16_log2_sql
+
+    xs = [1, 2, 3, 7, 10, 100, 12345, 2**20 + 17, 2**45 + 999, 2**62]
+    vals = ", ".join(f"({x})" for x in xs)
+    expr = _fp16_log2_sql("x", _dd_shl, _dd_shr)
+    got = duckdb.sql(
+        f"SELECT x, {expr} AS fp FROM (VALUES {vals}) t(x) ORDER BY x"
+    ).fetchall()
+    for x, fp in got:
+        true = math.log2(x)
+        assert fp / 16 <= true + 1e-9, (x, fp, true)
+        assert fp / 16 > true - 1 / 16 - 1e-9, (x, fp, true)
