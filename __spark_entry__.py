@@ -161,6 +161,21 @@ def q_tile_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SMOOTH_K = 2
+
+
+def q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring focal smoothing of the tile raster: per occupied tile,
+    the page-count sum and occupied-neighbor count over its Chebyshev
+    2-ring (ops.smooth_tiles — scatter/gather sparse convolution, one
+    bounded explode on the tile relation, never pages-scale)."""
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    tiles = pages.groupBy(
+        cx.to_parent("cell", XYZ_TILE_RES).alias("tile")
+    ).agg(F.count("*").alias("n_pages"))
+    return ops.smooth_tiles(tiles, k=SMOOTH_K, res=XYZ_TILE_RES)
+
+
 def q_tile_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     regions = ops.region_map(spark)
@@ -1148,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_passages": q_remove_passages,
         "semantic_dedup": q_semantic_dedup,
         "importance_weights": q_importance_weights,
+        "tile_smooth": q_tile_smooth,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1223,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_passages": tx.dd_remove_passages(8, 16),
         "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
+        "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

@@ -264,3 +264,60 @@ def tile_pyramid(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def smooth_tiles(
+    tiles: DataFrame,
+    k: int,
+    res: int,
+    value_col: str = "n_pages",
+    cell_col: str = "tile",
+) -> DataFrame:
+    """k-ring focal smoothing over a tile raster — the sparse spatial
+    convolution (hotspot / density smoothing) pass: for every occupied
+    tile, the sum and count of ``value_col`` over all occupied tiles
+    within lattice Chebyshev distance ``k`` (self included).
+
+    Shape: SCATTER-gather, not probe-join — each tile explodes to its
+    (2k+1)^2 neighbor coordinates (a bounded fan-out on the TILE
+    relation, which is already aggregated and lattice-bounded, never
+    pages-scale), then one map-side-combinable groupBy(cell) and an
+    inner join back to the occupied set (tile-scale both sides, AQE
+    picks the strategy).  No per-cell disk enumeration on the probe
+    side and no all-pairs distance predicate.
+
+    Returns ``tiles``'s columns plus ``neigh_sum`` / ``neigh_cnt``.
+    Mirrors h3 grid_disk smoothing; the lattice is the grid encoder's
+    (geo.cell_to_ij / geo.ij_to_cell).
+    """
+    from .geo import GRID_DIM, _axis_levels, cell_to_ij, ij_to_cell
+
+    xl, yl = _axis_levels(res)
+    ni, nj = GRID_DIM * 7**xl, GRID_DIM * 7**yl
+    pi, pj = cell_to_ij(F.col(cell_col), res)
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    scat = (
+        tiles.select(
+            F.col(value_col), pi.alias("__pi"), pj.alias("__pj")
+        )
+        .withColumn("__di", F.explode(offs))
+        .withColumn("__dj", F.explode(offs))
+        .select(
+            (F.col("__pi") + F.col("__di")).alias("__i"),
+            (F.col("__pj") + F.col("__dj")).alias("__j"),
+            F.col(value_col),
+        )
+        .filter(
+            (F.col("__i") >= 0) & (F.col("__i") < ni)
+            & (F.col("__j") >= 0) & (F.col("__j") < nj)
+        )
+        .select(
+            ij_to_cell(F.col("__i"), F.col("__j"), res).alias(cell_col),
+            F.col(value_col),
+        )
+    )
+    g = scat.groupBy(cell_col).agg(
+        F.sum(value_col).alias("neigh_sum"),
+        F.count("*").alias("neigh_cnt"),
+    )
+    return tiles.join(g, on=cell_col, how="inner")

@@ -429,3 +429,31 @@ def test_distance_join_self_pairs_once(spark):
     g = set(map(tuple, got.collect()))
     b = set(map(tuple, brute.collect()))
     assert g == b and len(b) > 0
+
+
+def test_smooth_tiles_planted(spark):
+    """3 occupied tiles: two lattice-adjacent, one isolated — the
+    adjacent pair see each other in their 1-ring, the isolated tile
+    sees only itself."""
+    from hexspark.geo import grid_encode, ij_to_cell
+    from hexspark.ops import smooth_tiles
+
+    res = 4
+    # build three tiles straight from lattice coords
+    base = spark.range(1).select(
+        ij_to_cell(F.lit(100), F.lit(200), res).alias("a"),
+        ij_to_cell(F.lit(101), F.lit(200), res).alias("b"),
+        ij_to_cell(F.lit(300), F.lit(400), res).alias("c"),
+    ).collect()[0]
+    tiles = spark.createDataFrame(
+        [(base["a"], 10), (base["b"], 7), (base["c"], 5)],
+        ["tile", "n_pages"],
+    )
+    got = {r["tile"]: r for r in smooth_tiles(tiles, k=1, res=res).collect()}
+    assert got[base["a"]]["neigh_sum"] == 17 and got[base["a"]]["neigh_cnt"] == 2
+    assert got[base["b"]]["neigh_sum"] == 17 and got[base["b"]]["neigh_cnt"] == 2
+    assert got[base["c"]]["neigh_sum"] == 5 and got[base["c"]]["neigh_cnt"] == 1
+    # k=0 degenerates to self only
+    k0 = {r["tile"]: r for r in smooth_tiles(tiles, k=0, res=res).collect()}
+    assert all(k0[t]["neigh_sum"] == v for t, v in
+               [(base["a"], 10), (base["b"], 7), (base["c"], 5)])
