@@ -269,6 +269,51 @@ def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.shared_passages(docs, n=8, min_len=16)
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix over events: users cohorted by first-
+    activity week, active-user counts per (cohort, week offset)
+    (temporal.retention_cohorts — one events-scale distinct, co-keyed
+    join, tiny final rollup)."""
+    from hexspark.temporal import retention_cohorts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(events)
+
+
+QUANTILE_P_BPS = 5000  # per-source median gate
+
+
+def q_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-quantile gate: keep documents scoring at or
+    above their source's median quality (sample.group_quantile_filter,
+    mode='exact'; approx_percentile is the documented corpus-scale
+    path)."""
+    from hexspark.sample import group_quantile_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_quantile_filter(
+        docs, tx.quality_score(F.col("text")), QUANTILE_P_BPS, "source"
+    ).select("doc_id", "source", "score", "group_thr")
+
+
+def _dd_retention() -> str:
+    from hexspark.temporal import dd_retention_cohorts
+
+    return dd_retention_cohorts()
+
+
+def _dd_quantile_filter() -> str:
+    from hexspark.sample import dd_group_quantile_filter
+
+    return dd_group_quantile_filter(
+        "doc_id, source, score, group_thr",
+        "documents",
+        tx.dd_quality_score("text"),
+        QUANTILE_P_BPS,
+        "source",
+    )
+
+
 DSIR_TARGET_MOD = 10  # deterministic target subset: doc_id % 10 == 0
 
 
@@ -1164,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "importance_weights": q_importance_weights,
         "tile_smooth": q_tile_smooth,
+        "retention_cohorts": q_retention_cohorts,
+        "quantile_filter": q_quantile_filter,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
         "descendants": q_descendants,
@@ -1240,6 +1287,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
+        "retention_cohorts": _dd_retention(),
+        "quantile_filter": _dd_quantile_filter(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),
         "descendants": oracles.q_descendants(),

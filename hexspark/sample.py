@@ -388,3 +388,73 @@ def dd_mix_by_token_budget(
         SELECT {select_cols} FROM src d JOIN rates r USING (grp)
         WHERE {draw} < r.rate_bps
     """
+
+
+def group_quantile_filter(
+    df: DataFrame,
+    score: Column,
+    p_bps: int,
+    group_col: str = "source",
+    mode: str = "exact",
+) -> DataFrame:
+    """Per-group quantile gate: keep rows whose ``score`` is at or
+    above their group's p-th quantile (``p_bps`` in basis points;
+    5000 = median) — the 'drop the worst X% of every domain' curation
+    filter, applied per group so one high-quality domain can't crowd
+    out another.
+
+    ``mode='exact'``: ``percentile()`` (exact interpolated — Spark's
+    and DuckDB's quantile_cont share the 1+(n-1)p definition, and the
+    threshold is rounded to 6 before the compare so the twin is
+    hash-stable).  Exact percentile buffers each group's values in the
+    aggregation state — bounded by the largest single GROUP, fine for
+    domain-sized groups.  ``mode='approx'``: approx_percentile
+    (KLL-sketch, fixed-size state, map-side combinable) — the 100-TB
+    path when groups can be corpus-scale; not oracle-exact by nature.
+
+    One combinable-or-sketch groupBy over the scored relation + a
+    group-keyed join back (group cardinality ≪ rows — AQE broadcasts);
+    the data relation never shuffles.
+    """
+    scored = df.withColumn("__score", score)
+    p = p_bps / 10000.0
+    if mode == "exact":
+        agg = F.expr(f"percentile(__score, {p!r})")
+    elif mode == "approx":
+        agg = F.expr(f"approx_percentile(__score, {p!r})")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    thr = scored.groupBy(group_col).agg(
+        F.round(agg.cast("double"), 6).alias("__thr")
+    )
+    return (
+        scored.join(thr, on=group_col)
+        .filter(F.col("__score") >= F.col("__thr"))
+        .withColumnRenamed("__score", "score")
+        .withColumnRenamed("__thr", "group_thr")
+    )
+
+
+def dd_group_quantile_filter(
+    select_cols: str,
+    from_table: str,
+    score_expr: str,
+    p_bps: int,
+    group_expr: str,
+) -> str:
+    """DuckDB twin of :func:`group_quantile_filter` (mode='exact')."""
+    p = p_bps / 10000.0
+    return f"""
+        WITH src AS (
+            SELECT *, {score_expr} AS score, {group_expr} AS grp
+            FROM {from_table}
+        ),
+        thr AS (
+            SELECT grp,
+                   ROUND(CAST(quantile_cont(score, {p!r}) AS DOUBLE), 6)
+                     AS group_thr
+            FROM src GROUP BY 1
+        )
+        SELECT {select_cols} FROM src JOIN thr USING (grp)
+        WHERE score >= group_thr
+    """

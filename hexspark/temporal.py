@@ -289,3 +289,67 @@ def dd_rolling_stats(window_seconds: int) -> str:
             RANGE BETWEEN {win_us} PRECEDING AND CURRENT ROW
         )
     """
+
+
+WEEK_SECONDS = 7 * 86400
+
+
+def retention_cohorts(
+    events: "DataFrame",
+    period_seconds: int = WEEK_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST activity, and each (cohort, period_offset) cell counts
+    how many of them were active that many periods later — the
+    engagement-decay table behind every retention curve.
+
+    Period index = ``unix_micros(ts) DIV (period_seconds * 10^6)``
+    (integer microsecond epoch — exact cross-engine; calendar
+    date_trunc is deliberately avoided so the twin can't diverge on
+    week-start conventions).
+
+    Shapes at scale: one distinct over (user, period) — map-side
+    combinable and the ONLY events-scale shuffle; the first-period
+    groupBy reuses the user key; the activity⋈first join is co-keyed
+    on user (AQE picks the strategy); the final (cohort, offset)
+    count is a plain combinable count over already-distinct rows —
+    cohort×offset cardinality is tiny.
+    """
+    us = period_seconds * 1_000_000
+    act = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {us}"
+            ).alias("__pw"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("__u").agg(F.min("__pw").alias("cohort"))
+    return (
+        act.join(first, on="__u")
+        .groupBy(
+            "cohort", (F.col("__pw") - F.col("cohort")).alias("period_offset")
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def dd_retention_cohorts(period_seconds: int = WEEK_SECONDS) -> str:
+    """DuckDB twin of :func:`retention_cohorts` over events."""
+    us = period_seconds * 1_000_000
+    return f"""
+        WITH act AS (
+            SELECT DISTINCT user_id AS u,
+                   epoch_us(ts) // {us} AS pw
+            FROM events
+        ),
+        first AS (SELECT u, MIN(pw) AS cohort FROM act GROUP BY 1)
+        SELECT f.cohort,
+               CAST(a.pw - f.cohort AS BIGINT) AS period_offset,
+               COUNT(*) AS n_active
+        FROM act a JOIN first f USING (u)
+        GROUP BY 1, 2
+    """

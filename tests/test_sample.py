@@ -182,3 +182,32 @@ def test_mix_by_token_budget_drops_unweighted_groups(spark):
     assert {r["grp"] for r in rows_out} == {"keep"}
     # keep is the only participating group → binding → kept in full
     assert len(rows_out) == 20
+
+
+def test_group_quantile_filter_planted(spark):
+    """Per-group median gate: each group keeps its upper half
+    (inclusive of the interpolated threshold); groups don't interact."""
+    from hexspark.sample import group_quantile_filter
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "a", 40),
+        (5, "b", 1), (6, "b", 100),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "q"])
+    got = {
+        r["doc_id"]: r
+        for r in group_quantile_filter(
+            df, F.col("q").cast("long"), 5000, "source"
+        ).collect()
+    }
+    # group a: median = 25 -> keep 30, 40; group b: median 50.5 -> keep 100
+    assert set(got) == {3, 4, 6}
+    assert got[3]["group_thr"] == 25.0 and got[6]["group_thr"] == 50.5
+    # approx mode runs and returns a subset containing the clear keeps
+    ap = {
+        r["doc_id"]
+        for r in group_quantile_filter(
+            df, F.col("q").cast("long"), 5000, "source", mode="approx"
+        ).collect()
+    }
+    assert {4, 6} <= ap

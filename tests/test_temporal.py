@@ -162,3 +162,32 @@ def test_rolling_stats_window_parse(events):
 
     with _pytest.raises(ValueError):
         rolling_stats(events, window="fortnight")
+
+
+def test_retention_cohorts_planted(spark):
+    """Two users cohorted in week 0 (one retained into week 1, one
+    not); a third user starts in week 1."""
+    import datetime as dt
+
+    from hexspark.temporal import retention_cohorts
+
+    wk = 7 * 86400
+    t0 = dt.datetime(2024, 1, 4)  # arbitrary anchor
+    rows = []
+    for i, (user, off_s) in enumerate(
+        [(1, 0), (1, 3600), (1, wk + 60), (2, 100), (3, wk + 5)]
+    ):
+        rows.append((i, t0 + dt.timedelta(seconds=off_s), user, "c", 0.0, ""))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(events).collect()
+    }
+    w0 = min(c for c, _ in got)
+    # user 1+2 start in w0; user 1 returns at offset 1; user 3 starts w0+1
+    assert got[(w0, 0)] == 2
+    assert got[(w0, 1)] == 1
+    assert got[(w0 + 1, 0)] == 1
+    assert len(got) == 3
