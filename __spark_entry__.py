@@ -176,6 +176,17 @@ def q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.smooth_tiles(tiles, k=SMOOTH_K, res=XYZ_TILE_RES)
 
 
+def q_tile_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotspot flags over the 2-ring smoothed raster: neighborhood
+    mean vs global mean in exact integer arithmetic
+    (ops.hotspot_tiles — smooth_tiles plus one broadcast global agg)."""
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    tiles = pages.groupBy(
+        cx.to_parent("cell", XYZ_TILE_RES).alias("tile")
+    ).agg(F.count("*").alias("n_pages"))
+    return ops.hotspot_tiles(tiles, k=SMOOTH_K, res=XYZ_TILE_RES)
+
+
 def q_tile_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     regions = ops.region_map(spark)
@@ -1209,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "importance_weights": q_importance_weights,
         "tile_smooth": q_tile_smooth,
+        "tile_hotspot": q_tile_hotspot,
         "retention_cohorts": q_retention_cohorts,
         "quantile_filter": q_quantile_filter,
         "point_in_polygon": q_point_in_polygon,
@@ -1287,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
+        "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "retention_cohorts": _dd_retention(),
         "quantile_filter": _dd_quantile_filter(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),

@@ -321,3 +321,38 @@ def smooth_tiles(
         F.count("*").alias("neigh_cnt"),
     )
     return tiles.join(g, on=cell_col, how="inner")
+
+
+def hotspot_tiles(
+    tiles: DataFrame,
+    k: int,
+    res: int,
+    value_col: str = "n_pages",
+    cell_col: str = "tile",
+) -> DataFrame:
+    """Getis-Ord-flavored hotspot flag over the k-ring smoothed raster,
+    in EXACT integer arithmetic: a tile is hot when its neighborhood
+    mean exceeds the global mean, i.e. when
+    ``excess_num = n_tiles * neigh_sum - global_sum * neigh_cnt > 0``
+    (both means cleared of their denominators — no float z-score, so
+    the oracle twin hashes identically; a z-scored variant is a
+    downstream float divide if needed).
+
+    Cost on top of :func:`smooth_tiles`: one two-column global agg
+    broadcast as a single row.
+    """
+    sm = smooth_tiles(tiles, k, res, value_col, cell_col)
+    tot = tiles.agg(
+        F.sum(value_col).alias("__gs"), F.count("*").alias("__gn")
+    )
+    num = (
+        F.col("neigh_sum") * F.col("__gn") - F.col("__gs") * F.col("neigh_cnt")
+    )
+    return sm.crossJoin(F.broadcast(tot)).select(
+        cell_col,
+        value_col,
+        "neigh_sum",
+        "neigh_cnt",
+        num.alias("excess_num"),
+        (num > 0).alias("is_hot"),
+    )

@@ -213,6 +213,50 @@ def q_tile_smooth(copies: int, page_res: int, tile_res: int, k: int) -> str:
     """
 
 
+def q_tile_hotspot(copies: int, page_res: int, tile_res: int, k: int) -> str:
+    """Twin of ops.hotspot_tiles — q_tile_smooth plus the global-mean
+    excess numerator (integer-cleared of denominators)."""
+    from .geo import GRID_DIM, _axis_levels, dd_cell_to_ij
+
+    xl, yl = _axis_levels(tile_res)
+    ni, nj = GRID_DIM * 7**xl, GRID_DIM * 7**yl
+    tile = synth.dd_to_parent("cell", tile_res)
+    i, j = dd_cell_to_ij("tile", tile_res)
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        tiles AS (
+            SELECT {tile} AS tile, COUNT(*) AS n_pages
+            FROM pages GROUP BY 1
+        ),
+        tij AS (SELECT tile, n_pages, {i} AS ti, {j} AS tj FROM tiles),
+        scat AS (
+            SELECT t.ti + a.di AS si, t.tj + b.dj AS sj, t.n_pages
+            FROM tij t,
+                 LATERAL (SELECT UNNEST(RANGE({-k}, {k + 1}))) a(di),
+                 LATERAL (SELECT UNNEST(RANGE({-k}, {k + 1}))) b(dj)
+            WHERE t.ti + a.di >= 0 AND t.ti + a.di < {ni}
+              AND t.tj + b.dj >= 0 AND t.tj + b.dj < {nj}
+        ),
+        g AS (
+            SELECT si, sj, SUM(n_pages) AS neigh_sum,
+                   COUNT(*) AS neigh_cnt
+            FROM scat GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_pages) AS BIGINT) AS gs,
+                   COUNT(*) AS gn
+            FROM tiles
+        )
+        SELECT t.tile, t.n_pages,
+               CAST(g.neigh_sum AS BIGINT) AS neigh_sum,
+               CAST(g.neigh_cnt AS BIGINT) AS neigh_cnt,
+               CAST(g.neigh_sum * tot.gn - tot.gs * g.neigh_cnt AS BIGINT)
+                 AS excess_num,
+               (g.neigh_sum * tot.gn - tot.gs * g.neigh_cnt) > 0 AS is_hot
+        FROM tij t JOIN g ON g.si = t.ti AND g.sj = t.tj, tot
+    """
+
+
 def q_tile_region_rollup(regions: dict, region_res: int, copies: int, page_res: int, tile_res: int) -> str:
     rc = dd_region_cells_cte(regions, region_res)
     return f"""

@@ -457,3 +457,28 @@ def test_smooth_tiles_planted(spark):
     k0 = {r["tile"]: r for r in smooth_tiles(tiles, k=0, res=res).collect()}
     assert all(k0[t]["neigh_sum"] == v for t, v in
                [(base["a"], 10), (base["b"], 7), (base["c"], 5)])
+
+
+def test_hotspot_tiles_planted(spark):
+    """A dense pair of adjacent tiles is hot; an isolated sparse tile
+    is not; the excess numerator is the exact integer
+    n_tiles*neigh_sum - global_sum*neigh_cnt."""
+    from hexspark.geo import ij_to_cell
+    from hexspark.ops import hotspot_tiles
+
+    res = 4
+    base = spark.range(1).select(
+        ij_to_cell(F.lit(100), F.lit(200), res).alias("a"),
+        ij_to_cell(F.lit(101), F.lit(200), res).alias("b"),
+        ij_to_cell(F.lit(300), F.lit(400), res).alias("c"),
+    ).collect()[0]
+    tiles = spark.createDataFrame(
+        [(base["a"], 50), (base["b"], 40), (base["c"], 3)],
+        ["tile", "n_pages"],
+    )
+    got = {r["tile"]: r for r in hotspot_tiles(tiles, k=1, res=res).collect()}
+    # global sum 93 over 3 tiles; a/b neighborhoods sum 90 over 2 tiles
+    assert got[base["a"]]["excess_num"] == 90 * 3 - 93 * 2
+    assert got[base["a"]]["is_hot"] and got[base["b"]]["is_hot"]
+    # c: 3*3 - 93*1 < 0
+    assert got[base["c"]]["excess_num"] == 9 - 93 and not got[base["c"]]["is_hot"]
