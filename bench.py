@@ -345,6 +345,49 @@ def run(spark) -> tuple[dict, dict]:
         lambda: linear_classifier_score(docs, clf_w).count(),
     )
 
+    # q24/q25: the k-ring raster family — tile-scale scatter/gather on
+    # top of one pages-scale rollup
+    from hexspark.ops import hotspot_tiles, smooth_tiles
+
+    def _tiles():
+        return pages.groupBy(
+            cx.to_parent("cell", 4).alias("tile")
+        ).agg(F.count("*").alias("n_pages"))
+
+    timed("q24_tile_smooth", lambda: smooth_tiles(_tiles(), 2, 4).count())
+    timed("q25_tile_hotspot", lambda: hotspot_tiles(_tiles(), 2, 4).count())
+
+    # q26: retention matrix (one events-scale distinct)
+    from hexspark.temporal import retention_cohorts
+
+    timed("q26_retention", lambda: retention_cohorts(events).count())
+
+    # q27: DSIR importance weights (pooled explode, bucket-bounded LMs)
+    from hexspark.text import importance_weights
+
+    def _dsir():
+        target = docs.filter(F.col("doc_id") % 10 == 0)
+        return importance_weights(docs, target).count()
+
+    timed("q27_importance", _dsir)
+
+    # q28: exact shared-passage mining (inverted-index gram join)
+    from hexspark.text import shared_passages
+
+    timed(
+        "q28_shared_passages",
+        lambda: shared_passages(docs, n=8, min_len=16).count(),
+    )
+
+    # q29: semantic dedup over embeddings (within-centroid cosine)
+    from hexspark.embed import semantic_dedup
+
+    timed(
+        "q29_semantic_dedup",
+        lambda: semantic_dedup(emb, 0.35, n_centroids=8, quantizer="first_k")
+        .filter(~F.col("kept")).count(),
+    )
+
     # q15: the corpus-curation pipeline END TO END (features → simhash
     # pairs → clusters → keepers → stats) INCLUDING its checkpoint
     # Parquet writes — the dedup family's pinned wall number is the

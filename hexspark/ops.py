@@ -18,6 +18,7 @@ from .cachepool import CachePool
 from .geo import polyfill
 
 _PYRAMID_POOL = CachePool()
+_FOCAL_POOL = CachePool()
 
 # Three disjoint synthetic vector regions (lat, lon vertices).  Chosen
 # for the deterministic test/bench pipeline; production regions come
@@ -289,9 +290,16 @@ def smooth_tiles(
     Returns ``tiles``'s columns plus ``neigh_sum`` / ``neigh_cnt``.
     Mirrors h3 grid_disk smoothing; the lattice is the grid encoder's
     (geo.cell_to_ij / geo.ij_to_cell).
+
+    ``tiles`` feeds TWO plan branches (the scatter and the join-back),
+    so it is persisted here (pool-bounded) — without it the upstream
+    rollup, typically a full pages-scale shuffle, executes once per
+    branch (measured 2-3x the whole query at bench scale).
     """
     from .geo import GRID_DIM, _axis_levels, cell_to_ij, ij_to_cell
 
+    _FOCAL_POOL.new_generation()
+    tiles = _FOCAL_POOL.add(tiles.persist())
     xl, yl = _axis_levels(res)
     ni, nj = GRID_DIM * 7**xl, GRID_DIM * 7**yl
     pi, pj = cell_to_ij(F.col(cell_col), res)
@@ -339,8 +347,10 @@ def hotspot_tiles(
     downstream float divide if needed).
 
     Cost on top of :func:`smooth_tiles`: one two-column global agg
-    broadcast as a single row.
+    broadcast as a single row (computed from the SAME persisted tile
+    relation smooth_tiles pins — a third branch, not a third rollup).
     """
+    tiles = tiles.persist()  # adopted by smooth_tiles' pool below
     sm = smooth_tiles(tiles, k, res, value_col, cell_col)
     tot = tiles.agg(
         F.sum(value_col).alias("__gs"), F.count("*").alias("__gn")
