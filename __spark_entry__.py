@@ -325,6 +325,15 @@ def _dd_quantile_filter() -> str:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document in exact
+    fixed-point integer bits (text.char_entropy — 36 native
+    length/replace counts + the fp16 log2 primitive; zero explode,
+    zero shuffle, one codegen projection over the scan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.char_entropy(docs)
+
+
 DSIR_TARGET_MOD = 10  # deterministic target subset: doc_id % 10 == 0
 
 
@@ -1219,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_passages": q_remove_passages,
         "semantic_dedup": q_semantic_dedup,
         "importance_weights": q_importance_weights,
+        "char_entropy": q_char_entropy,
         "tile_smooth": q_tile_smooth,
         "tile_hotspot": q_tile_hotspot,
         "retention_cohorts": q_retention_cohorts,
@@ -1298,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_passages": tx.dd_remove_passages(8, 16),
         "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
+        "char_entropy": tx.dd_char_entropy(),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "retention_cohorts": _dd_retention(),

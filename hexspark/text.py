@@ -1377,3 +1377,99 @@ def dd_importance_weights(mod: int = 10, n_buckets: int = CLF_BUCKETS) -> str:
         FROM feats f JOIN score s USING (fid)
         GROUP BY f.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality score (zero-shuffle gibberish detector)
+# ---------------------------------------------------------------------------
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def char_entropy(
+    docs: "DataFrame",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document Shannon entropy of the alphanumeric character
+    distribution — the compression-ratio-style gibberish / repetition
+    detector (low entropy = repeated characters / padded spam, high =
+    uniform noise), in EXACT fixed-point integer arithmetic.
+
+    ``H * n * 16 = n*L(n) - sum_ch c_ch*L(c_ch)`` with ``L`` the
+    1/16-bit :func:`_fp16_log2_sql` and ``c_ch`` the per-symbol counts;
+    ``entropy_fp16`` is the per-char mean ``DIV n`` (0..~85 = 16*log2(36)).
+
+    The 100-TB design point: NO explode and NO shuffle — each of the
+    36 symbol counts is a native ``length(t) - length(replace(t, ch))``
+    expression and the entropy is a pure per-row projection, so the
+    whole operator lives inside one WholeStageCodegen map over the
+    scan.  (A char-explode + groupBy formulation would create one row
+    per character of the corpus — ~10^15 rows at scale — for a result
+    a projection computes for free.)
+
+    Docs with no alphanumeric characters are dropped (entropy of an
+    empty distribution is undefined).
+    """
+    t = F.lower(F.col(text_col))
+    counts = [
+        (F.length(t) - F.length(F.replace(t, F.lit(ch)))).cast("long").alias(
+            f"__c_{i}"
+        )
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    ]
+    s1 = docs.select(F.col(doc_col), *counts)
+    n = sum(F.col(f"__c_{i}") for i in range(len(ENTROPY_ALPHABET)))
+    terms = [
+        F.when(
+            F.col(f"__c_{i}") > 0,
+            F.col(f"__c_{i}")
+            * F.expr(_fp16_log2_sql(f"__c_{i}", _spark_shl, _spark_shr)),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(len(ENTROPY_ALPHABET))
+    ]
+    s2 = s1.select(
+        F.col(doc_col), n.alias("__n"), sum(terms).alias("__s")
+    ).filter(F.col("__n") > 0)
+    num = (
+        F.col("__n") * F.expr(_fp16_log2_sql("__n", _spark_shl, _spark_shr))
+        - F.col("__s")
+    )
+    return s2.select(
+        F.col(doc_col),
+        F.col("__n").alias("n_alnum"),
+        F.expr(
+            f"({_fp16_log2_sql('__n', _spark_shl, _spark_shr)} * __n - __s)"
+            f" DIV __n"
+        ).alias("entropy_fp16"),
+        num.alias("entropy_fp16_num"),
+    )
+
+
+def dd_char_entropy() -> str:
+    """DuckDB twin of :func:`char_entropy` over documents."""
+    cnt = [
+        f"CAST(length(t) - length(replace(t, '{ch}', '')) AS BIGINT)"
+        for ch in ENTROPY_ALPHABET
+    ]
+    cols = ", ".join(f"{c} AS c_{i}" for i, c in enumerate(cnt))
+    n = " + ".join(f"c_{i}" for i in range(len(ENTROPY_ALPHABET)))
+    terms = " + ".join(
+        f"(CASE WHEN c_{i} > 0 THEN c_{i} * "
+        f"{_fp16_log2_sql(f'c_{i}', _dd_shl, _dd_shr)} ELSE 0 END)"
+        for i in range(len(ENTROPY_ALPHABET))
+    )
+    ln = _fp16_log2_sql("n", _dd_shl, _dd_shr)
+    return f"""
+        WITH lowered AS (
+            SELECT doc_id, lower(text) AS t FROM documents
+        ),
+        counted AS (SELECT doc_id, {cols} FROM lowered),
+        summed AS (
+            SELECT doc_id, {n} AS n, {terms} AS s FROM counted
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_alnum,
+               CAST(({ln} * n - s) // n AS BIGINT) AS entropy_fp16,
+               CAST({ln} * n - s AS BIGINT) AS entropy_fp16_num
+        FROM summed WHERE n > 0
+    """

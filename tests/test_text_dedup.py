@@ -895,3 +895,23 @@ def test_fp16_log2_property():
         true = math.log2(x)
         assert fp / 16 <= true + 1e-9, (x, fp, true)
         assert fp / 16 > true - 1 / 16 - 1e-9, (x, fp, true)
+
+
+def test_char_entropy_planted(spark):
+    """Single-symbol docs score 0; a uniform 2-symbol doc scores
+    exactly 16 (1.0 bit in fp16); no-alnum docs are dropped; the mean
+    tracks log2 of the support size."""
+    from hexspark.text import char_entropy
+
+    rows = [
+        (1, "aaaa aaaa"),          # one symbol -> H = 0
+        (2, "abab abab"),          # uniform over 2 -> H = 1 bit = 16
+        (3, "!!! ???"),            # no alnum -> dropped
+        (4, "abcdefgh"),           # uniform over 8 -> 3 bits = 48
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["entropy_fp16"] == 0 and got[1]["n_alnum"] == 8
+    assert got[2]["entropy_fp16"] == 16
+    assert got[4]["entropy_fp16"] == 48
