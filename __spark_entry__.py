@@ -325,6 +325,20 @@ def _dd_quantile_filter() -> str:
     )
 
 
+FUZZY_EVAL_MOD = 50   # deterministic eval set: doc_id % 50 == 0
+FUZZY_THRESHOLD = 40  # jaccard_pct
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs whose shingle Jaccard vs
+    any eval doc (deterministic doc_id % 50 == 0 subset) reaches 40%
+    (text.contaminated_docs_fuzzy — per-row set sizes, broadcast eval
+    gram join; corpus never shuffles for the join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % FUZZY_EVAL_MOD == 0)
+    return tx.contaminated_docs_fuzzy(docs, ev, FUZZY_THRESHOLD)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document in exact
     fixed-point integer bits (text.char_entropy — 36 native
@@ -1229,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "importance_weights": q_importance_weights,
         "char_entropy": q_char_entropy,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "tile_smooth": q_tile_smooth,
         "tile_hotspot": q_tile_hotspot,
         "retention_cohorts": q_retention_cohorts,
@@ -1309,6 +1324,9 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
         "char_entropy": tx.dd_char_entropy(),
+        "decontaminate_fuzzy": tx.dd_contaminated_docs_fuzzy(
+            f"doc_id % {FUZZY_EVAL_MOD} = 0", FUZZY_THRESHOLD
+        ),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "retention_cohorts": _dd_retention(),

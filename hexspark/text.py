@@ -1473,3 +1473,105 @@ def dd_char_entropy() -> str:
                CAST({ln} * n - s AS BIGINT) AS entropy_fp16_num
         FROM summed WHERE n > 0
     """
+
+
+def contaminated_docs_fuzzy(
+    train: "DataFrame",
+    eval_docs: "DataFrame",
+    threshold_pct: int = 50,
+    n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    eval_key: str = "eval_id",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: training docs whose character
+    ``n``-shingle Jaccard against ANY eval/benchmark doc meets
+    ``threshold_pct`` — catches paraphrased / lightly-edited leakage
+    the exact-gram :func:`contaminated_docs` pass misses.  Exact
+    Jaccard (integer cross-multiplied, no floats), not LSH: the eval
+    side is a benchmark suite, small enough that approximation buys
+    nothing.
+
+    Scale shape: shingle-set SIZES are per-row projections
+    (``size(array_distinct(...))`` — no explode, no shuffle); only the
+    INTERSECTION needs the gram join, and its eval side (distinct
+    eval grams, benchmark-bounded) broadcasts, so the corpus never
+    shuffles for the join; the (train, eval) intersection count is a
+    map-side-combinable groupBy over hit rows only — a sliver of the
+    corpus.  Output: ``doc_col``, ``eval_key``, inter, sz_train,
+    sz_eval for every qualifying pair.
+    """
+    from .dedup import shingles
+
+    tr_sh = F.array_distinct(shingles(F.col(text_col), n))
+    ev_sh = F.array_distinct(shingles(F.col(text_col), n))
+    tr_ex = train.select(
+        F.col(doc_col), F.explode(tr_sh).alias("sh")
+    )
+    ev_ex = F.broadcast(
+        eval_docs.select(
+            F.col(doc_col).alias(eval_key), F.explode(ev_sh).alias("sh")
+        )
+    )
+    inter = (
+        tr_ex.join(ev_ex, on="sh")
+        .groupBy(doc_col, eval_key)
+        .agg(F.count("*").alias("inter"))
+    )
+    tr_sz = train.select(F.col(doc_col), F.size(tr_sh).alias("sz_train"))
+    ev_sz = F.broadcast(
+        eval_docs.select(
+            F.col(doc_col).alias(eval_key), F.size(ev_sh).alias("sz_eval")
+        )
+    )
+    return (
+        inter.join(tr_sz, on=doc_col)
+        .join(ev_sz, on=eval_key)
+        .filter(
+            F.col("inter") * 100
+            >= F.lit(threshold_pct)
+            * (F.col("sz_train") + F.col("sz_eval") - F.col("inter"))
+        )
+        .select(doc_col, eval_key, "inter", "sz_train", "sz_eval")
+    )
+
+
+def dd_contaminated_docs_fuzzy(
+    eval_pred: str, threshold_pct: int = 50, n: int = 3
+) -> str:
+    """DuckDB twin of :func:`contaminated_docs_fuzzy` with the eval set
+    ``SELECT * FROM documents WHERE {eval_pred}``."""
+    from .dedup import dd_shingles
+
+    sh = dd_shingles("text", n)
+    return f"""
+        WITH tr AS (
+            SELECT doc_id, UNNEST(list_distinct({sh})) AS sh
+            FROM documents
+        ),
+        ev AS (
+            SELECT doc_id AS eval_id, UNNEST(list_distinct({sh})) AS sh
+            FROM documents WHERE {eval_pred}
+        ),
+        inter AS (
+            SELECT t.doc_id, e.eval_id, COUNT(*) AS inter
+            FROM tr t JOIN ev e USING (sh)
+            GROUP BY 1, 2
+        ),
+        trsz AS (
+            SELECT doc_id, CAST(len(list_distinct({sh})) AS BIGINT)
+                     AS sz_train
+            FROM documents
+        ),
+        evsz AS (
+            SELECT doc_id AS eval_id,
+                   CAST(len(list_distinct({sh})) AS BIGINT) AS sz_eval
+            FROM documents WHERE {eval_pred}
+        )
+        SELECT i.doc_id, i.eval_id, i.inter, t.sz_train, e.sz_eval
+        FROM inter i
+        JOIN trsz t USING (doc_id)
+        JOIN evsz e USING (eval_id)
+        WHERE i.inter * 100
+              >= {threshold_pct} * (t.sz_train + e.sz_eval - i.inter)
+    """

@@ -915,3 +915,29 @@ def test_char_entropy_planted(spark):
     assert got[1]["entropy_fp16"] == 0 and got[1]["n_alnum"] == 8
     assert got[2]["entropy_fp16"] == 16
     assert got[4]["entropy_fp16"] == 48
+
+
+def test_contaminated_docs_fuzzy_planted(spark):
+    """A paraphrased copy of an eval doc crosses the threshold; an
+    unrelated doc doesn't; the eval doc itself matches at 100."""
+    from hexspark.text import contaminated_docs_fuzzy
+
+    ev_text = "the quick brown fox jumps over the lazy dog tonight"
+    para = "a quick brown fox jumps over the lazy dog today"
+    other = "completely unrelated content about spark aggregation plans"
+    docs = spark.createDataFrame(
+        [(0, ev_text), (1, para), (2, other)], ["doc_id", "text"]
+    )
+    ev = docs.filter(F.col("doc_id") == 0)
+    got = {
+        (r["doc_id"], r["eval_id"]): r
+        for r in contaminated_docs_fuzzy(docs, ev, 40, n=3).collect()
+    }
+    assert (0, 0) in got  # self-match, jaccard 100
+    self_r = got[(0, 0)]
+    assert self_r["inter"] == self_r["sz_train"] == self_r["sz_eval"]
+    assert (1, 0) in got  # paraphrase above 40%
+    assert (2, 0) not in got
+    # threshold 100 keeps only the exact self-match
+    strict = contaminated_docs_fuzzy(docs, ev, 100, n=3).collect()
+    assert [(r["doc_id"], r["eval_id"]) for r in strict] == [(0, 0)]
