@@ -366,3 +366,83 @@ def hotspot_tiles(
         num.alias("excess_num"),
         (num > 0).alias("is_hot"),
     )
+
+
+def regions_from_geojson(
+    spark: SparkSession,
+    geojson: "str | dict",
+    res: int = REGION_RES,
+    name_property: str = "name",
+    compact: bool = True,
+) -> DataFrame:
+    """Load a GeoJSON FeatureCollection (path, JSON string, or parsed
+    dict) of Polygon / MultiPolygon features into the compacted region
+    map :func:`region_map` builds from the inline REGIONS dict — the
+    production polygon-source path (any GIS tool exports this format).
+
+    Only exterior rings are rasterized (polyfill has no hole support;
+    holes raise rather than silently over-cover).  GeoJSON positions
+    are (lon, lat) — flipped here to the engine's (lat, lon).  Region
+    names come from ``properties[name_property]``, falling back to the
+    feature ``id`` or its index.  Polygons of one MultiPolygon share
+    the feature's name (their cells union under the EqCompactor).
+
+    Parsing is driver-side by design: region collections are
+    broadcast-scale metadata (thousands of polygons), not data —
+    the cell table it produces is what distributes.
+    """
+    import json as _json
+    import os as _os
+
+    if isinstance(geojson, str):
+        if _os.path.exists(geojson):
+            with open(geojson) as fh:
+                gj = _json.load(fh)
+        else:
+            gj = _json.loads(geojson)
+    else:
+        gj = geojson
+    if gj.get("type") != "FeatureCollection":
+        raise ValueError(
+            f"expected a FeatureCollection, got {gj.get('type')!r}"
+        )
+    parts = []
+    for idx, feat in enumerate(gj.get("features", [])):
+        geom = feat.get("geometry") or {}
+        gtype = geom.get("type")
+        name = (feat.get("properties") or {}).get(
+            name_property, feat.get("id", str(idx))
+        )
+        if gtype == "Polygon":
+            polys = [geom["coordinates"]]
+        elif gtype == "MultiPolygon":
+            polys = geom["coordinates"]
+        else:
+            raise ValueError(
+                f"feature {name!r}: unsupported geometry {gtype!r}"
+            )
+        for rings in polys:
+            if len(rings) > 1:
+                raise ValueError(
+                    f"feature {name!r}: interior rings (holes) are not"
+                    " supported by polyfill"
+                )
+            ring = rings[0]
+            # GeoJSON closes the ring (first == last); polyfill takes
+            # an open vertex list in (lat, lon)
+            verts = [(float(lat), float(lon)) for lon, lat in ring]
+            if len(verts) > 1 and verts[0] == verts[-1]:
+                verts = verts[:-1]
+            parts.append(
+                polyfill(spark, verts, res).withColumn(
+                    "region", F.lit(str(name))
+                )
+            )
+    if not parts:
+        raise ValueError("FeatureCollection has no polygon features")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    if compact:
+        return bx.build_region_local(df, value_col="region", compactor="eq")
+    return df

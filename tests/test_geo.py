@@ -482,3 +482,63 @@ def test_hotspot_tiles_planted(spark):
     assert got[base["a"]]["is_hot"] and got[base["b"]]["is_hot"]
     # c: 3*3 - 93*1 < 0
     assert got[base["c"]]["excess_num"] == 9 - 93 and not got[base["c"]]["is_hot"]
+
+
+def test_regions_from_geojson(spark, tmp_path):
+    """A FeatureCollection (Polygon + MultiPolygon, closed lon-lat
+    rings) loads into the same compacted region map the inline dict
+    produces; holes and non-collections raise."""
+    import json
+
+    import pytest as _pytest
+
+    from hexspark.build import build_region_local
+    from hexspark.geo import polyfill
+    from hexspark.ops import REGIONS, regions_from_geojson
+
+    def ring(poly):  # engine (lat, lon) -> closed geojson (lon, lat)
+        r = [[lon, lat] for lat, lon in poly]
+        return r + [r[0]]
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "alpha"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [ring(REGIONS["alpha"])],
+                },
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "beta"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[ring(REGIONS["beta"])]],
+                },
+            },
+        ],
+    }
+    p = tmp_path / "regions.geojson"
+    p.write_text(json.dumps(gj))
+    got = regions_from_geojson(spark, str(p), res=4).collect()
+
+    parts = [
+        polyfill(spark, REGIONS[n], 4).withColumn("region", F.lit(n))
+        for n in ("alpha", "beta")
+    ]
+    want = build_region_local(
+        parts[0].unionByName(parts[1]), value_col="region", compactor="eq"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    with _pytest.raises(ValueError, match="holes"):
+        holed = json.loads(json.dumps(gj))
+        holed["features"][0]["geometry"]["coordinates"].append(
+            ring([(30.0, -95.0), (31.0, -95.0), (31.0, -94.0)])
+        )
+        regions_from_geojson(spark, holed, res=4)
+    with _pytest.raises(ValueError, match="FeatureCollection"):
+        regions_from_geojson(spark, {"type": "Feature"}, res=4)
