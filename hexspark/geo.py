@@ -322,6 +322,32 @@ def polyfill(
     )
 
 
+def polyfill_np(
+    polygon: "Sequence[tuple[float, float]]",
+    res: int,
+    flat_budget: int = 4_000_000,
+) -> "np.ndarray":
+    """Driver-side numpy :func:`polyfill` (same ContainsCentroid rule,
+    same :func:`polyfill_grid` lattice — identical output, tested):
+    enumerate bbox centers, vectorized PIP, encode.  For broadcast-
+    scale polygon collections (a GeoJSON region file) this turns
+    one-Spark-job-per-polygon into microseconds per polygon; callers
+    must keep it off corpus-scale paths.  Raises when the bbox
+    enumeration exceeds ``flat_budget`` candidates — fall back to the
+    distributed :func:`polyfill` for continent-at-fine-res shapes."""
+    px, py, lat0, lon0, nx, ny = polyfill_grid(polygon, res)
+    if nx * ny > flat_budget:
+        raise ValueError(
+            f"polyfill_np: {nx * ny} candidate centers exceed "
+            f"flat_budget={flat_budget}; use the distributed polyfill"
+        )
+    ii = np.arange(nx * ny, dtype=np.int64)
+    lat = lat0 + (ii // nx + 0.5) * py
+    lon = lon0 + (ii % nx + 0.5) * px
+    keep = point_in_polygon_np(lat, lon, polygon)
+    return np.unique(grid_encode_np(lat[keep], lon[keep], res))
+
+
 def _segment_intersects_rect(
     x1: float, y1: float, x2: float, y2: float,
     xmin: Column, xmax: Column, ymin: Column, ymax: Column,

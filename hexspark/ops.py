@@ -387,9 +387,13 @@ def regions_from_geojson(
     feature ``id`` or its index.  Polygons of one MultiPolygon share
     the feature's name (their cells union under the EqCompactor).
 
-    Parsing is driver-side by design: region collections are
-    broadcast-scale metadata (thousands of polygons), not data —
-    the cell table it produces is what distributes.
+    Parsing AND rasterization are driver-side by design: region
+    collections are broadcast-scale metadata (thousands of polygons),
+    not data — each polygon polyfills in numpy (geo.polyfill_np,
+    microseconds per feature; one-Spark-job-per-feature would turn a
+    10^4-feature file into hours of driver-side job planning), with
+    the distributed polyfill as the fallback for a polygon too large
+    for the driver.  The cell table it produces is what distributes.
     """
     import json as _json
     import os as _os
@@ -402,11 +406,14 @@ def regions_from_geojson(
             gj = _json.loads(geojson)
     else:
         gj = geojson
+    from .geo import polyfill_np
+
     if gj.get("type") != "FeatureCollection":
         raise ValueError(
             f"expected a FeatureCollection, got {gj.get('type')!r}"
         )
     parts = []
+    rows: list[tuple[int, str]] = []
     for idx, feat in enumerate(gj.get("features", [])):
         geom = feat.get("geometry") or {}
         gtype = geom.get("type")
@@ -433,16 +440,87 @@ def regions_from_geojson(
             verts = [(float(lat), float(lon)) for lon, lat in ring]
             if len(verts) > 1 and verts[0] == verts[-1]:
                 verts = verts[:-1]
-            parts.append(
-                polyfill(spark, verts, res).withColumn(
-                    "region", F.lit(str(name))
+            try:
+                for c in polyfill_np(verts, res):
+                    rows.append((int(c), str(name)))
+            except ValueError:
+                parts.append(
+                    polyfill(spark, verts, res).withColumn(
+                        "region", F.lit(str(name))
+                    )
                 )
-            )
-    if not parts:
+    if not parts and not rows:
         raise ValueError("FeatureCollection has no polygon features")
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    df = None
+    if rows:
+        df = spark.createDataFrame(rows, ["cell", "region"])
+    for p in parts:
+        df = p if df is None else df.unionByName(p)
     if compact:
         return bx.build_region_local(df, value_col="region", compactor="eq")
     return df
+
+
+def regions_to_geojson(
+    regions: DataFrame,
+    res: int = REGION_RES,
+    path: "str | None" = None,
+    region_col: str = "region",
+    cell_col: str = "cell",
+) -> dict:
+    """Export a region map as a GeoJSON FeatureCollection — one
+    MultiPolygon feature per region whose parts are the res-``res``
+    cell rectangles (lon-lat, closed rings).  The inverse of
+    :func:`regions_from_geojson`: loading the export at the same
+    ``res`` reproduces the map cell-for-cell (each rectangle contains
+    exactly its own cell's center — ContainsCentroid polyfill maps it
+    back to that one cell).
+
+    Driver-side by contract (like the broadcast region build): region
+    maps are metadata-scale.  The compacted input is uncompacted to
+    ``res`` first so mixed-res maps export uniformly.
+    """
+    import json as _json
+
+    from . import constants as K
+    from .build import uncompact_df
+    from .geo import GRID_DIM, _axis_levels, cell_to_ij_np
+
+    import numpy as np
+
+    rows = (
+        uncompact_df(regions, res, cell_col=cell_col)
+        .select(cell_col, region_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty region map")
+    cells = np.array([r[cell_col] for r in rows], dtype=np.int64)
+    names = [r[region_col] for r in rows]
+    i, j, _ = cell_to_ij_np(cells)
+    xl, yl = _axis_levels(res)
+    px = 360.0 / (GRID_DIM * 7**xl)
+    py = 180.0 / (GRID_DIM * 7**yl)
+    xmin = -180.0 + i * px
+    ymin = -90.0 + j * py
+    by_region: dict[str, list] = {}
+    for k in range(len(cells)):
+        x0, y0 = float(xmin[k]), float(ymin[k])
+        x1, y1 = x0 + px, y0 + py
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        by_region.setdefault(names[k], []).append([ring])
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": name},
+                "geometry": {"type": "MultiPolygon", "coordinates": polys},
+            }
+            for name, polys in sorted(by_region.items())
+        ],
+    }
+    if path is not None:
+        with open(path, "w") as fh:
+            _json.dump(gj, fh)
+    return gj

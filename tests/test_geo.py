@@ -542,3 +542,42 @@ def test_regions_from_geojson(spark, tmp_path):
         regions_from_geojson(spark, holed, res=4)
     with _pytest.raises(ValueError, match="FeatureCollection"):
         regions_from_geojson(spark, {"type": "Feature"}, res=4)
+
+
+def test_regions_geojson_roundtrip(spark, tmp_path):
+    """Export -> load at the same res reproduces the compacted region
+    map cell-for-cell (each exported rectangle polyfills back to
+    exactly its own cell)."""
+    from hexspark.ops import (
+        region_map, regions_from_geojson, regions_to_geojson,
+    )
+
+    orig = region_map(spark, res=4)
+    p = tmp_path / "export.geojson"
+    gj = regions_to_geojson(orig, res=4, path=str(p))
+    assert {f["properties"]["name"] for f in gj["features"]} == {
+        "alpha", "beta", "gamma"
+    }
+    back = regions_from_geojson(spark, str(p), res=4)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orig.collect())
+    )
+
+
+def test_polyfill_np_matches_distributed(spark):
+    """Driver-side numpy polyfill == distributed polyfill cell-for-cell
+    on all three inline regions at two resolutions; budget raise."""
+    import pytest as _pytest
+
+    from hexspark.geo import polyfill, polyfill_np
+    from hexspark.ops import REGIONS
+
+    for name, poly in REGIONS.items():
+        for res in (2, 4):
+            want = sorted(
+                r["cell"] for r in polyfill(spark, poly, res).collect()
+            )
+            got = sorted(int(c) for c in polyfill_np(poly, res))
+            assert got == want, (name, res)
+    with _pytest.raises(ValueError, match="flat_budget"):
+        polyfill_np(REGIONS["alpha"], 12, flat_budget=10)
