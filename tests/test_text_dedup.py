@@ -941,3 +941,29 @@ def test_contaminated_docs_fuzzy_planted(spark):
     # threshold 100 keeps only the exact self-match
     strict = contaminated_docs_fuzzy(docs, ev, 100, n=3).collect()
     assert [(r["doc_id"], r["eval_id"]) for r in strict] == [(0, 0)]
+
+
+def test_fp16_log2_hypothesis():
+    """Property: the fixed-point form is within (true-1/16, true] of
+    16*log2(x) for arbitrary BIGINT-range inputs, in both dialects."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hexspark.text import _dd_shl, _dd_shr, _fp16_log2_sql
+
+    expr = _fp16_log2_sql("x", _dd_shl, _dd_shr)
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62))
+    def check(x):
+        fp = con.execute(
+            f"SELECT {expr} FROM (VALUES (CAST({x} AS BIGINT))) t(x)"
+        ).fetchone()[0]
+        true = math.log2(x)
+        assert true - 1 / 16 - 1e-9 < fp / 16 <= true + 1e-9, (x, fp)
+
+    check()
