@@ -339,6 +339,59 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.contaminated_docs_fuzzy(docs, ev, FUZZY_THRESHOLD)
 
 
+WARC_N_DOCS = 50
+
+
+def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion round-trip: wrap the first 50 documents as HTTP
+    response records in a per-record-gzipped archive (Common Crawl's
+    layout), read it back with warc.read_warc (binaryFile +
+    mapInPandas record parser) and shape to documents via
+    warc.docs_from_warc (native tag-strip).  The oracle reproduces the
+    expected (h64(url), url, normalized text) straight from the
+    documents table."""
+    import html as _html
+    import os as _os
+    import tempfile as _tempfile
+
+    from hexspark.warc import build_warc_bytes, docs_from_warc, read_warc
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < WARC_N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    records = []
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        body = (
+            "<html><body><p>"
+            + _html.escape(r["text"], quote=False)
+            + "</p></body></html>"
+        ).encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        ).encode() + body
+        records.append(
+            ("response", f"http://synth.test/{r['doc_id']}", http)
+        )
+    wd = _tempfile.mkdtemp(prefix="hexwarc_")
+    with open(_os.path.join(wd, "part.warc.gz"), "wb") as fh:
+        fh.write(build_warc_bytes(records, gzip_members=True))
+    return docs_from_warc(read_warc(spark, wd))
+
+
+def _dd_warc_pipeline() -> str:
+    from hexspark.dedup import dd_h64
+
+    url = "'http://synth.test/' || CAST(doc_id AS VARCHAR)"
+    return f"""
+        SELECT {dd_h64(url)} AS doc_id, {url} AS url,
+               TRIM(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+        FROM documents WHERE doc_id < {WARC_N_DOCS}
+    """
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document in exact
     fixed-point integer bits (text.char_entropy — 36 native
@@ -1244,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "char_entropy": q_char_entropy,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "warc_pipeline": q_warc_pipeline,
         "tile_smooth": q_tile_smooth,
         "tile_hotspot": q_tile_hotspot,
         "retention_cohorts": q_retention_cohorts,
@@ -1327,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": tx.dd_contaminated_docs_fuzzy(
             f"doc_id % {FUZZY_EVAL_MOD} = 0", FUZZY_THRESHOLD
         ),
+        "warc_pipeline": _dd_warc_pipeline(),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "retention_cohorts": _dd_retention(),
