@@ -339,6 +339,22 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.contaminated_docs_fuzzy(docs, ev, FUZZY_THRESHOLD)
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip: documents → range-partitioned
+    JSONL shards → schema-enforced quarantining reader
+    (storage.write_docs_jsonl / read_docs_jsonl); the oracle is the
+    documents table itself."""
+    import tempfile as _tempfile
+
+    from hexspark.storage import read_docs_jsonl, write_docs_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wd = _tempfile.mkdtemp(prefix="hexjsonl_")
+    write_docs_jsonl(docs, wd, n_files=4)
+    valid, _ = read_docs_jsonl(spark, wd)
+    return valid.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 WARC_N_DOCS = 50
 
 
@@ -1298,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "warc_pipeline": q_warc_pipeline,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "tile_smooth": q_tile_smooth,
         "tile_hotspot": q_tile_hotspot,
         "retention_cohorts": q_retention_cohorts,
@@ -1382,6 +1399,9 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id % {FUZZY_EVAL_MOD} = 0", FUZZY_THRESHOLD
         ),
         "warc_pipeline": _dd_warc_pipeline(),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "retention_cohorts": _dd_retention(),

@@ -155,3 +155,56 @@ def read_kepler_csv(spark: SparkSession, path: str) -> DataFrame:
         spark.read.option("header", True).csv(path)
         .select(cx.from_hex(F.col("h3_id")).alias("cell"))
     )
+
+
+DOCS_JSONL_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def read_docs_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCS_JSONL_SCHEMA,
+) -> "tuple[DataFrame, DataFrame]":
+    """JSONL corpus source with malformed-line quarantine: returns
+    ``(valid, quarantine)`` — the build.validate_cells convention
+    (never silently drop, never fail the whole 100-TB read for one
+    mangled line).
+
+    The schema is EXPLICIT, never inferred: schema inference is a full
+    extra pass over the data before any real work, and a sampled
+    inference can lock in a wrong type that poisons every downstream
+    stage.  Parsing is ``text`` source + ``from_json`` rather than the
+    raw JSON reader: the raw reader refuses any plan whose referenced
+    columns prune down to just ``_corrupt_record``
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — and
+    Catalyst's pruning does exactly that to a quarantine ``count()``),
+    while the two-step form has no such restriction, costs the same
+    single pass, and keeps the raw line for forensics.  JSONL splits
+    by line, so unlike WARC the parallelism grain is bytes
+    (maxPartitionBytes), not files.
+    """
+    full = f"{schema}, _corrupt_record STRING"
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    bad = F.col("j").isNull() | F.col("j._corrupt_record").isNotNull()
+    valid = (
+        parsed.filter(~bad).select("j.*").drop("_corrupt_record")
+    )
+    quarantine = parsed.filter(bad).select("raw_line")
+    return valid, quarantine
+
+
+def write_docs_jsonl(df: DataFrame, path: str, n_files: "int | None" = None) -> None:
+    """Documents → JSONL shards (interchange with non-Spark tooling).
+    ``n_files`` bounds the shard count (range-partitioned by doc_id so
+    shard contents are deterministic, not task-layout-dependent)."""
+    out = df
+    if n_files is not None:
+        out = df.repartitionByRange(n_files, "doc_id")
+    out.write.mode("overwrite").json(path)

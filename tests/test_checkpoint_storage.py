@@ -528,3 +528,27 @@ def test_streaming_event_sessions(spark, tmp_path):
     assert got <= want_all
     assert len(got) >= len(want_all) - 7  # at most one open session/user
     assert len(got) > 0
+
+
+def test_docs_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """write -> read recovers the documents exactly; malformed and
+    wrong-typed lines quarantine with the raw line instead of failing
+    or silently dropping."""
+    from hexspark.storage import read_docs_jsonl, write_docs_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_docs_jsonl(docs, out, n_files=2)
+    valid, quar = read_docs_jsonl(spark, out)
+    assert quar.count() == 0
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, valid.select(*docs.columns).collect()))
+    assert a == b
+    # plant corruption: one broken JSON line, one type mismatch
+    with open(f"{out}/zz_bad.json", "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok…\n')
+        fh.write('{"doc_id": "not-a-number", "text": "t"}\n')
+    valid2, quar2 = read_docs_jsonl(spark, out)
+    bad = [r["raw_line"] for r in quar2.collect()]
+    assert len(bad) == 2 and all(b for b in bad)
+    assert valid2.count() == docs.count()
