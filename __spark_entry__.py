@@ -887,6 +887,15 @@ def _dd_event_quantiles() -> str:
     return dd_event_value_quantiles()
 
 
+def _dd_cap_per_tile() -> str:
+    from hexspark.pages import dd_pages_cte
+    from hexspark.sample import dd_cap_per_tile
+
+    return dd_cap_per_tile(
+        dd_pages_cte(COPIES, PAGE_RES), TILE_CAP_K, TILE_CAP_RES
+    )
+
+
 def _dd_cap_per_domain() -> str:
     from hexspark.pages import dd_pages_cte
     from hexspark.sample import dd_cap_per_domain
@@ -929,6 +938,21 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     return cap_per_domain(pages, k=DOMAIN_CAP_K)
+
+
+TILE_CAP_K = 3
+TILE_CAP_RES = 4
+
+
+def q_cap_per_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density cap: at most K pages per res-4 tile — the
+    spatially balanced subset selector (sample.cap_per_tile, same
+    deterministic two-phase top-k shape as the domain cap, keyed on
+    the tile)."""
+    from hexspark.sample import cap_per_tile
+
+    pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
+    return cap_per_tile(pages, k=TILE_CAP_K, tile_res=TILE_CAP_RES)
 
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "ann_in_region": q_ann_in_region,
         "cap_per_domain": q_cap_per_domain,
+        "cap_per_tile": q_cap_per_tile,
         "tfidf_terms": q_tfidf_terms,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1468,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
             ANN_REGION, ANN_K, ANN_QUERIES,
         ),
         "cap_per_domain": _dd_cap_per_domain(),
+        "cap_per_tile": _dd_cap_per_tile(),
         "tfidf_terms": tx.dd_tfidf_top_terms(TFIDF_K),
         "decontaminate": tx.dd_contaminated_docs(DECON_EVAL_PRED, DECON_N),
         "pii_scrub": _dd_pii_scrub(),

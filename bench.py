@@ -388,6 +388,36 @@ def run(spark) -> tuple[dict, dict]:
         .filter(~F.col("kept")).count(),
     )
 
+    # q30: spatial density cap — pages-scale two-phase top-k on tile
+    from hexspark.sample import cap_per_tile
+
+    timed(
+        "q30_cap_per_tile",
+        lambda: cap_per_tile(pages, k=3, tile_res=4).count(),
+    )
+
+    # q31/q32/q33: document scorers/gates (char entropy is the
+    # zero-shuffle projection; quantile gate one agg + join-back;
+    # fuzzy decontamination a broadcast shingle join)
+    from hexspark.sample import group_quantile_filter
+    from hexspark.text import (
+        char_entropy, contaminated_docs_fuzzy, quality_score,
+    )
+
+    timed("q31_char_entropy", lambda: char_entropy(docs).count())
+    timed(
+        "q32_quantile_filter",
+        lambda: group_quantile_filter(
+            docs, quality_score(F.col("text")), 5000, "source"
+        ).count(),
+    )
+
+    def _fuzzy():
+        ev = docs.filter(F.col("doc_id") % 50 == 0)
+        return contaminated_docs_fuzzy(docs, ev, 40).count()
+
+    timed("q33_decontam_fuzzy", _fuzzy)
+
     # q15: the corpus-curation pipeline END TO END (features → simhash
     # pairs → clusters → keepers → stats) INCLUDING its checkpoint
     # Parquet writes — the dedup family's pinned wall number is the

@@ -458,3 +458,58 @@ def dd_group_quantile_filter(
         SELECT {select_cols} FROM src JOIN thr USING (grp)
         WHERE score >= group_thr
     """
+
+
+CAP_TILE_SALT = 4  # composes with sample(0) / split(1) / cap(2) / pack(3)
+
+
+def cap_per_tile(
+    pages: DataFrame,
+    k: int,
+    tile_res: int,
+    key_col: str = "page_key",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Spatial density cap: keep at most ``k`` pages per res-
+    ``tile_res`` tile — the geospatial analogue of
+    :func:`cap_per_domain` (a spatially balanced training subset: a
+    metro tile with 10^7 pages can't drown the long tail of sparse
+    tiles).  Deterministic and layout-independent: the kept pages are
+    the ``k`` lowest key-hash draws (salt 4 — composes with the other
+    deterministic selectors), key tie-break.
+
+    Same scale shape as the domain cap: two-phase per-key top-k keyed
+    on the tile, so a mega-tile never funnels into one reducer.
+    Returns (tile, rank, key).
+    """
+    from . import cells as cx
+    from .topk import topk_per_key
+
+    df = pages.withColumn("tile", cx.to_parent(cell_col, tile_res))
+    return topk_per_key(
+        df,
+        keys=["tile"],
+        order=[sample_hash(F.col(key_col), salt=CAP_TILE_SALT), F.col(key_col)],
+        payload=[key_col],
+        k=k,
+    )
+
+
+def dd_cap_per_tile(
+    pages_cte: str, k: int, tile_res: int, key: str = "page_key"
+) -> str:
+    """DuckDB twin of :func:`cap_per_tile` (ROW_NUMBER oracle form)."""
+    from . import synth
+
+    draw = dd_sample_hash(key, salt=CAP_TILE_SALT)
+    tile = synth.dd_to_parent("cell", tile_res)
+    return f"""
+        WITH pages AS ({pages_cte})
+        SELECT tile, rank, {key} FROM (
+            SELECT {tile} AS tile, {key},
+                   ROW_NUMBER() OVER (
+                     PARTITION BY {tile} ORDER BY {draw} ASC, {key} ASC
+                   ) AS rank
+            FROM pages
+        ) WHERE rank <= {k}
+    """

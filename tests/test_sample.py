@@ -211,3 +211,39 @@ def test_group_quantile_filter_planted(spark):
         ).collect()
     }
     assert {4, 6} <= ap
+
+
+def test_cap_per_tile_planted(spark):
+    """At most k keys per tile, deterministic under repartition, and
+    the kept set is the k lowest draws."""
+    from hexspark.sample import cap_per_tile, sample_hash, CAP_TILE_SALT
+    from hexspark import synth
+
+    pages = spark.range(500).select(
+        F.col("id").alias("page_key"),
+        synth.cell_from_key(F.col("id") % 7, 6).alias("cell"),
+    )
+    got = cap_per_tile(pages, k=3, tile_res=2).collect()
+    by_tile = {}
+    for r in got:
+        by_tile.setdefault(r["tile"], []).append(r["page_key"])
+    assert all(len(v) <= 3 for v in by_tile.values())
+    assert len(got) > 0
+    # layout independence
+    again = cap_per_tile(pages.repartition(13), k=3, tile_res=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # kept = lowest draws within each tile
+    full = pages.select(
+        synth.cell_from_key(F.col("page_key") % 7, 6).alias("c"),
+        "page_key",
+        sample_hash(F.col("page_key"), salt=CAP_TILE_SALT).alias("d"),
+    ).collect()
+    from hexspark import cells_np as cnp
+    import numpy as np
+    want = {}
+    for r in full:
+        t = int(cnp.to_parent(np.array([r["c"]]), 2)[0])
+        want.setdefault(t, []).append((r["d"], r["page_key"]))
+    for t, lst in want.items():
+        keep = [k for _, k in sorted(lst)[:3]]
+        assert sorted(by_tile[t]) == sorted(keep)
