@@ -280,6 +280,20 @@ def q_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.shared_passages(docs, n=8, min_len=16)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: earliest strictly-
+    after completion epoch per stage, stage_reached count
+    (temporal.funnel — every shuffle keys on user; per-stage volume is
+    that event type only, integer-micros comparisons throughout)."""
+    from hexspark.temporal import funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, FUNNEL_STEPS)
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention matrix over events: users cohorted by first-
     activity week, active-user counts per (cohort, week offset)
@@ -311,6 +325,12 @@ def _dd_retention() -> str:
     from hexspark.temporal import dd_retention_cohorts
 
     return dd_retention_cohorts()
+
+
+def _dd_funnel() -> str:
+    from hexspark.temporal import dd_funnel
+
+    return dd_funnel(FUNNEL_STEPS)
 
 
 def _dd_quantile_filter() -> str:
@@ -1342,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_smooth": q_tile_smooth,
         "tile_hotspot": q_tile_hotspot,
         "retention_cohorts": q_retention_cohorts,
+        "funnel": q_funnel,
         "quantile_filter": q_quantile_filter,
         "point_in_polygon": q_point_in_polygon,
         "cell_hex": q_cell_hex,
@@ -1430,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "retention_cohorts": _dd_retention(),
+        "funnel": _dd_funnel(),
         "quantile_filter": _dd_quantile_filter(),
         "point_in_polygon": oracles.q_point_in_polygon(ops.REGIONS, COPIES, PAGE_RES),
         "cell_hex": oracles.q_cell_hex(),

@@ -353,3 +353,86 @@ def dd_retention_cohorts(period_seconds: int = WEEK_SECONDS) -> str:
         FROM act a JOIN first f USING (u)
         GROUP BY 1, 2
     """
+
+
+def funnel(
+    events: "DataFrame",
+    steps: "Sequence[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "DataFrame":
+    """Ordered conversion funnel: for each user, the earliest timestamp
+    at which each stage completes, where stage ``i`` must occur
+    STRICTLY AFTER the user's stage ``i-1`` completion (the standard
+    product-analytics funnel — a purchase before the first view does
+    not convert a view→purchase funnel).
+
+    Output: one row per user who completed stage 0 — ``user_col``,
+    ``t0_us..t{n-1}_us`` (integer microsecond epochs, NULL once the
+    user stalls), ``stage_reached`` (count of completed stages, 1-based).
+    Aggregate downstream for the classic per-stage decay counts.
+
+    Shapes at scale: stage 0 is one map-side-combinable conditional
+    min; each later stage is an equi-join on the user key against only
+    that stage's filtered events followed by another combinable min —
+    every shuffle keys on ``user_col``, so AQE reuses/co-locates the
+    partitioning, and per-stage volume is that event type's rows, not
+    the whole log.  Strictly-after comparisons and epochs are integer
+    micros end to end (exact cross-engine).
+    """
+    us = f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.expr(f"min({us})").alias("t0_us"))
+    )
+    for i, step in enumerate(steps[1:], 1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.expr(us).alias("__ts")
+        )
+        prev_cols = [f"t{j}_us" for j in range(i)]
+        hits = (
+            cur.join(nxt, on=user_col)
+            .filter(F.col("__ts") > F.col(f"t{i - 1}_us"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}_us"))
+        )
+        cur = cur.join(hits, on=user_col, how="left")
+    stage = sum(
+        F.when(F.col(f"t{i}_us").isNotNull(), 1).otherwise(0)
+        for i in range(len(steps))
+    )
+    return cur.withColumn("stage_reached", stage.cast("long"))
+
+
+def dd_funnel(steps: "Sequence[str]") -> str:
+    """DuckDB twin of :func:`funnel` over events."""
+    ctes = [
+        f"""s0 AS (
+            SELECT user_id, MIN(epoch_us(ts)) AS t0_us
+            FROM events WHERE event_type = '{steps[0]}'
+            GROUP BY 1
+        )"""
+    ]
+    for i, step in enumerate(steps[1:], 1):
+        ctes.append(f"""s{i} AS (
+            SELECT e.user_id, MIN(epoch_us(e.ts)) AS t{i}_us
+            FROM events e JOIN s{i - 1} p USING (user_id)
+            WHERE e.event_type = '{step}'
+              AND epoch_us(e.ts) > p.t{i - 1}_us
+            GROUP BY 1
+        )""")
+    joins = " ".join(
+        f"LEFT JOIN s{i} USING (user_id)" for i in range(1, len(steps))
+    )
+    tcols = ", ".join(f"t{i}_us" for i in range(len(steps)))
+    reached = " + ".join(
+        f"(CASE WHEN t{i}_us IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(steps))
+    )
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT user_id, {tcols}, CAST({reached} AS BIGINT) AS stage_reached
+        FROM s0 {joins}
+    """

@@ -191,3 +191,44 @@ def test_retention_cohorts_planted(spark):
     assert got[(w0, 1)] == 1
     assert got[(w0 + 1, 0)] == 1
     assert len(got) == 3
+
+
+def test_funnel_planted(spark):
+    """Strict ordering: a purchase BEFORE the first view doesn't
+    convert; stalls stop at the right stage; the earliest qualifying
+    ts wins."""
+    import datetime as dt
+
+    from hexspark.temporal import funnel
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ev(i, user, typ, s):
+        return (i, t0 + dt.timedelta(seconds=s), user, typ, 0.0, "")
+
+    rows = [
+        # user 1: full funnel, plus a decoy purchase before the view
+        ev(0, 1, "purchase", 0), ev(1, 1, "view", 10),
+        ev(2, 1, "click", 20), ev(3, 1, "purchase", 30),
+        ev(4, 1, "click", 15),          # earliest qualifying click
+        # user 2: view then click, never purchases after the click
+        ev(5, 2, "view", 0), ev(6, 2, "click", 5),
+        # user 3: only a click -> not in the funnel at all
+        ev(7, 3, "click", 0),
+        # user 4: view only
+        ev(8, 4, "view", 100),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r["user_id"]: r
+        for r in funnel(events, ("view", "click", "purchase")).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    base = got[1]["t0_us"]
+    assert got[1]["stage_reached"] == 3
+    assert got[1]["t1_us"] == base + 5_000_000   # click at +15s, view +10s
+    assert got[1]["t2_us"] == base + 20_000_000  # purchase at +30s
+    assert got[2]["stage_reached"] == 2 and got[2]["t2_us"] is None
+    assert got[4]["stage_reached"] == 1 and got[4]["t1_us"] is None
