@@ -451,6 +451,35 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.importance_weights(docs, target)
 
 
+PROJ_DIM = 16  # 64 -> 16 JL compression
+
+
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64->16 (seeded-literal
+    matrix, shuffle-free codegen map; embed.project_embeddings),
+    exploded to (vec_id, pos, component) scalars for the hash gate."""
+    from hexspark.embed import project_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = project_embeddings(emb, dim=64, out_dim=PROJ_DIM)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "component")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "component")
+
+
+def _dd_project() -> str:
+    from hexspark.embed import dd_project_embeddings
+
+    inner = dd_project_embeddings(64, PROJ_DIM)
+    return f"""
+        SELECT vec_id, CAST(i AS BIGINT) AS pos,
+               embedding[CAST(i AS INT)] AS component
+        FROM ({inner}) p, LATERAL (
+            SELECT UNNEST(RANGE(1, {PROJ_DIM} + 1))
+        ) t(i)
+    """
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: nearest-centroid assign
     ('first_k' deterministic quantizer so DuckDB can replay it), exact
@@ -1354,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_passages": q_shared_passages,
         "remove_passages": q_remove_passages,
         "semantic_dedup": q_semantic_dedup,
+        "project_embeddings": q_project_embeddings,
         "importance_weights": q_importance_weights,
         "char_entropy": q_char_entropy,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -1439,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_passages": tx.dd_shared_passages(8, 16),
         "remove_passages": tx.dd_remove_passages(8, 16),
         "semantic_dedup": dd_semantic_dedup(DUP_THRESHOLD, IVF_CENTROIDS),
+        "project_embeddings": _dd_project(),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
         "char_entropy": tx.dd_char_entropy(),
         "decontaminate_fuzzy": tx.dd_contaminated_docs_fuzzy(

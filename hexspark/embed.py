@@ -745,3 +745,63 @@ def dd_semantic_dedup(threshold: float, n_centroids: int = 16) -> str:
                d.witness, d.witness IS NULL AS kept
         FROM assign s LEFT JOIN dups d USING (vec_id)
     """
+
+
+def project_embeddings(
+    corpus: DataFrame,
+    dim: int,
+    out_dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    scale: "float | None" = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress ``dim``-d
+    embeddings to ``out_dim`` floats with a fixed seeded Gaussian
+    matrix scaled by 1/sqrt(out_dim) (pairwise distances/cosines are
+    preserved within the JL bound) — the storage/ANN-speed reduction
+    step before indexing a 10^12-vector corpus.
+
+    The matrix is deterministic seeded literals baked into the plan
+    (broadcast-free, same rationale as :func:`hyperplane_signatures`),
+    each output component one ``zip_with``/``aggregate`` SQL expression
+    rounded to 6 — so the DuckDB twin (:func:`dd_project_embeddings`,
+    same rng stream, same left-to-right summation) is bit-identical
+    and the whole map is shuffle-free whole-stage codegen.
+
+    Replaces ``vec_col`` with the ``out_dim`` array; all other columns
+    pass through.
+    """
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim))
+    s = float(scale) if scale is not None else 1.0 / float(np.sqrt(out_dim))
+    comps = ", ".join(
+        "ROUND(aggregate(zip_with(CAST(`{v}` AS ARRAY<DOUBLE>),"
+        " array({p}), (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, u) -> acc + u) * {s!r}D, 6)".format(
+            v=vec_col,
+            p=", ".join(repr(float(x)) + "D" for x in mat[i]),
+            s=s,
+        )
+        for i in range(out_dim)
+    )
+    return corpus.withColumn(vec_col, F.expr(f"array({comps})"))
+
+
+def dd_project_embeddings(
+    dim: int, out_dim: int, seed: int = 42, key: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`project_embeddings` over embeddings."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((out_dim, dim))
+    s = 1.0 / float(np.sqrt(out_dim))
+    comps = ", ".join(
+        "ROUND(COALESCE(list_sum(list_transform(list_zip("
+        "CAST(embedding AS DOUBLE[]), [{p}]), x -> x[1] * x[2])), 0.0)"
+        " * {s!r}, 6)".format(
+            p=", ".join(repr(float(x)) for x in mat[i]), s=s
+        )
+        for i in range(out_dim)
+    )
+    return f"""
+        SELECT {key}, [{comps}] AS embedding FROM embeddings
+    """

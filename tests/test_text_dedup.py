@@ -967,3 +967,42 @@ def test_fp16_log2_hypothesis():
         assert true - 1 / 16 - 1e-9 < fp / 16 <= true + 1e-9, (x, fp)
 
     check()
+
+
+def test_project_embeddings_jl(spark):
+    """Projection preserves pairwise cosine structure (JL property) on
+    planted near/far pairs, output width is out_dim, and identical
+    seeds give identical outputs while different seeds differ."""
+    import numpy as np
+
+    from hexspark.embed import project_embeddings
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01
+    far = rng.standard_normal(64)
+    emb = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in project_embeddings(emb, 64, 16).collect()
+    }
+    assert all(len(v) == 16 for v in out.values())
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(out[0], out[1]) > 0.95
+    assert abs(cos(out[0], out[2])) < 0.7
+    again = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in project_embeddings(emb, 64, 16).collect()
+    }
+    assert all(np.array_equal(out[k], again[k]) for k in out)
+    other = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in project_embeddings(emb, 64, 16, seed=99).collect()
+    }
+    assert not np.array_equal(out[0], other[0])
