@@ -164,6 +164,41 @@ def q_tile_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
 SMOOTH_K = 2
 
 
+TRACE_RES = 6
+TRACE_SALT = 777_777
+
+
+def q_trace_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory rasterization: straight segments between
+    deterministic supplier-key endpoints traced to the res-6 cells
+    they traverse with path ordering (geo.trace_cells — half-pitch
+    sampling, one bounded explode + combinable min)."""
+    from hexspark.geo import trace_cells
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lat1, lon1 = synth.latlon_from_key(F.col("s_suppkey"))
+    lat2, lon2 = synth.latlon_from_key(F.col("s_suppkey") + TRACE_SALT)
+    segs = sup.select(
+        F.col("s_suppkey").alias("seg_id"),
+        lat1.alias("lat1"), lon1.alias("lon1"),
+        lat2.alias("lat2"), lon2.alias("lon2"),
+    )
+    return trace_cells(segs, TRACE_RES)
+
+
+def _dd_trace() -> str:
+    from hexspark.geo import dd_trace_cells
+
+    la1, lo1 = synth.dd_latlon_from_key("s_suppkey")
+    la2, lo2 = synth.dd_latlon_from_key(f"(s_suppkey + {TRACE_SALT})")
+    segs = f"""
+        SELECT s_suppkey AS seg_id, {la1} AS lat1, {lo1} AS lon1,
+               {la2} AS lat2, {lo2} AS lon2
+        FROM supplier
+    """
+    return dd_trace_cells(segs, TRACE_RES)
+
+
 def q_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-ring focal smoothing of the tile raster: per occupied tile,
     the page-count sum and occupied-neighbor count over its Chebyshev
@@ -1391,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "tile_smooth": q_tile_smooth,
         "tile_hotspot": q_tile_hotspot,
+        "trace_cells": q_trace_cells,
         "retention_cohorts": q_retention_cohorts,
         "funnel": q_funnel,
         "quantile_filter": q_quantile_filter,
@@ -1481,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tile_smooth": oracles.q_tile_smooth(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
         "tile_hotspot": oracles.q_tile_hotspot(COPIES, PAGE_RES, XYZ_TILE_RES, SMOOTH_K),
+        "trace_cells": _dd_trace(),
         "retention_cohorts": _dd_retention(),
         "funnel": _dd_funnel(),
         "quantile_filter": _dd_quantile_filter(),

@@ -1105,3 +1105,88 @@ def distance_join(
     if pairs_once:
         out = out.filter(F.col(out_pk) < F.col(out_qk))
     return out
+
+
+def trace_cells(
+    segments: DataFrame,
+    res: int,
+    seg_col: str = "seg_id",
+    endpoint_cols: "tuple[str, str, str, str]" = ("lat1", "lon1", "lat2", "lon2"),
+) -> DataFrame:
+    """Rasterize straight lat/lon segments onto the res-``res`` grid —
+    trajectory support (flight paths, road links, user tracks → the
+    cells they traverse), the line analogue of polyfill.
+
+    Each segment is sampled at half the lattice pitch along its
+    dominant axis (``n-1 = 2*ceil(max(|dlon|/px, |dlat|/py))`` interior
+    steps), every sample encodes, and duplicates collapse to one row
+    per traversed cell carrying the FIRST sample index (``step`` —
+    orders cells along the path).  Half-pitch sampling means adjacent
+    samples land in the same or an adjacent cell, so the trace has no
+    gaps on the centroid lattice.
+
+    All native Columns (explode of a per-row sequence → encode →
+    map-side-combinable min), so fan-out is bounded by path length in
+    cells — a segment table never shuffles except the final (seg,
+    cell) combine.  Every arithmetic step (ceil/lerp/encode) is the
+    same IEEE double chain as the DuckDB twin.
+    """
+    la1, lo1, la2, lo2 = (F.col(c) for c in endpoint_cols)
+    px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
+    py = 180.0 / (GRID_DIM * 7 ** (res // 2))
+    n1 = (
+        F.ceil(
+            F.greatest(F.abs(lo2 - lo1) / F.lit(px), F.abs(la2 - la1) / F.lit(py))
+        ).cast("long")
+        * 2
+    )
+    i = F.explode(F.sequence(F.lit(0).cast("long"), n1)).alias("__i")
+    sampled = segments.select(
+        F.col(seg_col), la1.alias("__la1"), lo1.alias("__lo1"),
+        la2.alias("__la2"), lo2.alias("__lo2"), n1.alias("__n1"), i
+    )
+    t = F.when(F.col("__n1") > 0, F.col("__i") / F.col("__n1")).otherwise(
+        F.lit(0.0)
+    )
+    lat = F.col("__la1") + (F.col("__la2") - F.col("__la1")) * t
+    lon = F.col("__lo1") + (F.col("__lo2") - F.col("__lo1")) * t
+    return (
+        sampled.select(
+            F.col(seg_col),
+            grid_encode(lat, lon, res).alias("cell"),
+            F.col("__i"),
+        )
+        .groupBy(seg_col, "cell")
+        .agg(F.min("__i").alias("step"))
+    )
+
+
+def dd_trace_cells(
+    segments_cte: str, res: int, seg: str = "seg_id"
+) -> str:
+    """DuckDB twin of :func:`trace_cells` over a segments CTE with
+    columns (seg_id, lat1, lon1, lat2, lon2)."""
+    px = 360.0 / (GRID_DIM * 7 ** ((res + 1) // 2))
+    py = 180.0 / (GRID_DIM * 7 ** (res // 2))
+    enc = dd_grid_encode("llat", "llon", res)
+    return f"""
+        WITH segs AS ({segments_cte}),
+        sized AS (
+            SELECT *, CAST(CEIL(GREATEST(
+                ABS(lon2 - lon1) / {px!r}, ABS(lat2 - lat1) / {py!r}
+            )) AS BIGINT) * 2 AS n1
+            FROM segs
+        ),
+        sampled AS (
+            SELECT {seg}, n1, CAST(i AS BIGINT) AS i,
+                   lat1 + (lat2 - lat1) * (CASE WHEN n1 > 0
+                     THEN CAST(i AS DOUBLE) / n1 ELSE 0.0 END) AS llat,
+                   lon1 + (lon2 - lon1) * (CASE WHEN n1 > 0
+                     THEN CAST(i AS DOUBLE) / n1 ELSE 0.0 END) AS llon
+            FROM sized, LATERAL (
+                SELECT UNNEST(RANGE(0, n1 + 1))
+            ) t(i)
+        )
+        SELECT {seg}, {enc} AS cell, MIN(i) AS step
+        FROM sampled GROUP BY 1, 2
+    """

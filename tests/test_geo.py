@@ -581,3 +581,38 @@ def test_polyfill_np_matches_distributed(spark):
             assert got == want, (name, res)
     with _pytest.raises(ValueError, match="flat_budget"):
         polyfill_np(REGIONS["alpha"], 12, flat_budget=10)
+
+
+def test_trace_cells_planted(spark):
+    """A purely horizontal segment traverses a contiguous run of
+    lattice cells in order; a degenerate (point) segment yields its
+    single cell at step 0; traces are connected (no gaps)."""
+    import numpy as np
+
+    from hexspark.geo import cell_to_ij_np, trace_cells
+
+    res = 4
+    segs = spark.createDataFrame(
+        [
+            (1, 10.0, 20.0, 10.0, 21.5),   # horizontal run
+            (2, -30.0, 5.0, -30.0, 5.0),   # degenerate point
+            (3, 40.0, -100.0, 41.0, -99.0),  # diagonal
+        ],
+        ["seg_id", "lat1", "lon1", "lat2", "lon2"],
+    )
+    rows = trace_cells(segs, res).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["seg_id"], []).append((r["step"], r["cell"]))
+    assert len(by_seg[2]) == 1 and by_seg[2][0][0] == 0
+    # horizontal: ordered by step, i strictly increasing, j constant,
+    # i advancing by exactly 1 (connected, no gaps, no diagonal jumps)
+    cells1 = [c for _, c in sorted(by_seg[1])]
+    i, j, _ = cell_to_ij_np(np.array(cells1, dtype=np.int64))
+    assert len(set(j.tolist())) == 1
+    assert i.tolist() == list(range(i[0], i[0] + len(cells1)))
+    # diagonal: consecutive cells are 8-connected (Chebyshev step <= 1)
+    cells3 = [c for _, c in sorted(by_seg[3])]
+    i3, j3, _ = cell_to_ij_np(np.array(cells3, dtype=np.int64))
+    for a in range(1, len(cells3)):
+        assert max(abs(i3[a] - i3[a - 1]), abs(j3[a] - j3[a - 1])) <= 1
