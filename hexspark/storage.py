@@ -208,3 +208,57 @@ def write_docs_jsonl(df: DataFrame, path: str, n_files: "int | None" = None) -> 
     if n_files is not None:
         out = df.repartitionByRange(n_files, "doc_id")
     out.write.mode("overwrite").json(path)
+
+
+def read_docs_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCS_JSONL_SCHEMA,
+    sep: str = ",",
+) -> "tuple[DataFrame, DataFrame]":
+    """CSV corpus source with malformed-line quarantine — the
+    :func:`read_docs_jsonl` contract for the other interchange format
+    (explicit schema, never inferred; (valid, quarantine) split; the
+    raw line rides the quarantine for forensics).  Same text+from_csv
+    two-step as the JSONL reader and for the same reason: the raw CSV
+    reader refuses corrupt-only-pruned plans.
+
+    CSV caveat (why JSONL is the preferred interchange): embedded
+    newlines in quoted fields need multiLine=true, which breaks
+    line-splittability — this reader is for one-record-per-line files
+    (the writer escapes newlines).
+    """
+    full = f"{schema}, _corrupt_record STRING"
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_csv(
+            F.col("value"),
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt_record",
+                "sep": sep,
+            },
+        ).alias("j"),
+    )
+    bad = F.col("j").isNull() | F.col("j._corrupt_record").isNotNull()
+    valid = parsed.filter(~bad).select("j.*").drop("_corrupt_record")
+    quarantine = parsed.filter(bad).select("raw_line")
+    return valid, quarantine
+
+
+def write_docs_csv(
+    df: DataFrame, path: str, n_files: "int | None" = None, sep: str = ","
+) -> None:
+    """Documents → CSV shards (quoted, newline-escaped so the
+    line-splitting reader round-trips; range-partitioned deterministic
+    shard contents like the JSONL writer)."""
+    out = df
+    if n_files is not None:
+        out = df.repartitionByRange(n_files, "doc_id")
+    (
+        out.write.mode("overwrite")
+        .option("escape", '"')
+        .option("sep", sep)
+        .csv(path)
+    )

@@ -552,3 +552,24 @@ def test_docs_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     bad = [r["raw_line"] for r in quar2.collect()]
     assert len(bad) == 2 and all(b for b in bad)
     assert valid2.count() == docs.count()
+
+
+def test_docs_csv_roundtrip_and_quarantine(spark, tmp_path):
+    """CSV twin of the JSONL contract: exact round-trip (including
+    quoted commas/newlines in text) and raw-line quarantine for
+    mistyped rows."""
+    from hexspark.storage import read_docs_csv, write_docs_csv
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_csv")
+    write_docs_csv(docs, out, n_files=2)
+    valid, quar = read_docs_csv(spark, out)
+    assert quar.count() == 0
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, valid.select(*docs.columns).collect()))
+    assert a == b
+    with open(f"{out}/zz_bad.csv", "w") as fh:
+        fh.write("not-a-number,text,en,web,5\n")
+    valid2, quar2 = read_docs_csv(spark, out)
+    assert quar2.count() == 1
+    assert valid2.count() == docs.count()
