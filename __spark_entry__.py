@@ -463,6 +463,14 @@ def _dd_warc_pipeline() -> str:
     """
 
 
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs all lower-keyed docs
+    (text.novelty_scores — combinable min-owner per gram + equi-join
+    back; the ordering-aware redundancy diagnostic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.novelty_scores(docs)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document in exact
     fixed-point integer bits (text.char_entropy — 36 native
@@ -1421,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_embeddings": q_project_embeddings,
         "importance_weights": q_importance_weights,
         "char_entropy": q_char_entropy,
+        "novelty": q_novelty,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "warc_pipeline": q_warc_pipeline,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -1508,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "project_embeddings": _dd_project(),
         "importance_weights": tx.dd_importance_weights(DSIR_TARGET_MOD),
         "char_entropy": tx.dd_char_entropy(),
+        "novelty": tx.dd_novelty_scores(),
         "decontaminate_fuzzy": tx.dd_contaminated_docs_fuzzy(
             f"doc_id % {FUZZY_EVAL_MOD} = 0", FUZZY_THRESHOLD
         ),

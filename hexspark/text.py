@@ -1575,3 +1575,79 @@ def dd_contaminated_docs_fuzzy(
         WHERE i.inter * 100
               >= {threshold_pct} * (t.sz_train + e.sz_eval - i.inter)
     """
+
+
+def novelty_scores(
+    docs: "DataFrame",
+    n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document novelty: of the doc's DISTINCT word n-grams, how
+    many are FIRST INTRODUCED by it (no lower-keyed doc contains them)
+    — the ordering-aware redundancy diagnostic behind dedup triage
+    (a crawl snapshot whose late documents score near zero is mostly
+    re-crawl; a stream of novelty-1.0 docs needs no passage dedup).
+    Keys stand in for arrival order; feed an ingest sequence number
+    for true time order.
+
+    Output: ``doc_col``, ``n_grams`` (distinct grams), ``n_novel``,
+    ``novelty_bp`` (basis points, exact integer division).
+
+    Shapes at corpus scale: one distinct-gram explode; the gram owner
+    (min doc id per gram) is a map-side-combinable min keyed on the
+    gram; the ownership check is the SAME relation joined back on the
+    gram (AQE-planned equi-join, never all-pairs); the per-doc tail is
+    one combinable count.
+    """
+    g = docs.select(
+        F.col(doc_col).alias("__doc"),
+        F.explode(distinct_ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+    owner = g.groupBy("gram").agg(F.min("__doc").alias("__first"))
+    per_doc = (
+        g.join(owner, on="gram")
+        .groupBy("__doc")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col("__doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("__doc").alias(doc_col),
+        "n_grams",
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        F.expr("n_novel * 10000 DIV n_grams").alias("novelty_bp"),
+    )
+
+
+def dd_novelty_scores(n: int = 3) -> str:
+    """DuckDB twin of :func:`novelty_scores` over documents."""
+    return f"""
+        WITH words AS (
+            SELECT doc_id AS doc,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc,
+                   array_to_string(
+                     ws[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(ws) - {n - 2}))
+            ) t(i)
+            WHERE len(ws) >= {n}
+        ),
+        owner AS (SELECT gram, MIN(doc) AS first FROM g GROUP BY 1)
+        SELECT g.doc AS doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN o.first = g.doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN o.first = g.doc THEN 1 ELSE 0 END)
+                    * 10000 // COUNT(*) AS BIGINT) AS novelty_bp
+        FROM g JOIN owner o USING (gram)
+        GROUP BY 1
+    """

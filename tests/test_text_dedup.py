@@ -1006,3 +1006,22 @@ def test_project_embeddings_jl(spark):
         for r in project_embeddings(emb, 64, 16, seed=99).collect()
     }
     assert not np.array_equal(out[0], other[0])
+
+
+def test_novelty_scores_planted(spark):
+    """The first doc is fully novel; an exact later copy scores 0; a
+    half-overlapping doc scores its fresh fraction exactly."""
+    from hexspark.text import novelty_scores
+
+    a = "w1 w2 w3 w4 w5 w6"            # 4 distinct 3-grams
+    b = a                              # copy of a -> novelty 0
+    c = "w4 w5 w6 x1 x2 x3"            # shares gram 'w4 w5 w6' with a
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(docs, n=3).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["novelty_bp"] == 10000
+    assert got[2]["n_novel"] == 0 and got[2]["novelty_bp"] == 0
+    # c: grams {w4w5w6(owned by 1), w5w6x1, w6x1x2, x1x2x3} -> 3/4
+    assert got[3]["n_grams"] == 4 and got[3]["n_novel"] == 3
+    assert got[3]["novelty_bp"] == 7500
