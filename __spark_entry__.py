@@ -1404,7 +1404,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION: the driver verifies only the FIRST 50 entries (dict order).
+    # Policy: least-recently-driver-checked first.  Round 6 window =
+    #   positions 1-8:  the 8 queries that had NEVER had a driver row
+    #                   (added late in r5, parked past the window),
+    #   positions 9-27: the 19 queries last driver-green in r4,
+    #   positions 28-50: the longest-unrotated of the r5-green set.
+    # The 27 entries past position 50 were all driver-green in r5
+    # (CORRECTNESS_r05.json) and stay parity-gated locally
+    # (tests/test_oracle_parity.py).  Rotate each round.
     return {
+        # -- never driver-checked before r6 (r5 additions, positions 69-77) --
+        "cap_per_tile": q_cap_per_tile,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "blocklist_filter": q_blocklist_filter,
+        "remove_boilerplate": q_remove_boilerplate,
+        "mix_corpus": q_mix_corpus,
+        # -- last driver-green in r4, unwindowed in r5 --
+        "ann_lsh": q_ann_lsh,
+        "knn_rings": q_knn_rings,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "embed_dups": q_embed_dups,
+        "polyfill_hier": q_polyfill_hier,
+        "event_windows": q_event_windows,
+        "event_sessions": q_event_sessions,
+        "set_intersect": q_set_intersect,
+        "set_union": q_set_union,
+        "set_difference": q_set_difference,
+        "top_domains": q_top_domains,
+        "stratified_sample": q_stratified_sample,
+        "event_quantiles": q_event_quantiles,
+        "url_normalize": q_url_normalize,
+        "top_ngrams": q_top_ngrams,
+        "ann_in_region": q_ann_in_region,
+        "cap_per_domain": q_cap_per_domain,
+        "tfidf_terms": q_tfidf_terms,
+        # -- r5-green rotation (driver-green in CORRECTNESS_r05) --
         "cell_ops": q_cell_ops,
         "build_compact_set": q_build_compact_set,
         "contains": q_contains,
@@ -1428,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "project_embeddings": q_project_embeddings,
         "importance_weights": q_importance_weights,
+        # ---------------- driver window ends here (position 50) ----------
         "char_entropy": q_char_entropy,
         "novelty": q_novelty,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -1455,33 +1495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_keepers": q_incremental_keepers,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "knn_rings": q_knn_rings,
-        "media_features": q_media_features,
-        "media_resize": q_media_resize,
-        "embed_dups": q_embed_dups,
-        "polyfill_hier": q_polyfill_hier,
-        "event_windows": q_event_windows,
-        "event_sessions": q_event_sessions,
-        "set_intersect": q_set_intersect,
-        "set_union": q_set_union,
-        "set_difference": q_set_difference,
-        "top_domains": q_top_domains,
-        "stratified_sample": q_stratified_sample,
-        "event_quantiles": q_event_quantiles,
-        "url_normalize": q_url_normalize,
-        "top_ngrams": q_top_ngrams,
-        "ann_in_region": q_ann_in_region,
-        "cap_per_domain": q_cap_per_domain,
-        "cap_per_tile": q_cap_per_tile,
-        "tfidf_terms": q_tfidf_terms,
-        "decontaminate": q_decontaminate,
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "pack_sequences": q_pack_sequences,
-        "blocklist_filter": q_blocklist_filter,
-        "remove_boilerplate": q_remove_boilerplate,
-        "mix_corpus": q_mix_corpus,
     }
 
 
