@@ -184,16 +184,41 @@ def strip_html_tags(html_text: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def lossy_utf8(body: Column) -> Column:
+    """binary → string, UTF-8 with ``errors='replace'``.
+
+    Spark 4's ANSI-mode ``F.decode(col, 'UTF-8')`` raises
+    MALFORMED_CHARACTER_CODING on the first invalid byte — one dirty
+    crawl body would abort a whole ingestion job.  Crawl bytes are
+    dirty by nature (truncated multibyte sequences, mislabeled
+    charsets), so decode leniently via an Arrow-batched pandas UDF;
+    invalid sequences become U+FFFD instead of exceptions.  Prune to
+    the body column before calling — Catalyst can't push projection
+    through the Python boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _decode(s):
+        return s.map(
+            lambda b: None if b is None else bytes(b).decode(
+                "utf-8", errors="replace"
+            )
+        )
+
+    return _decode(body)
+
+
 def docs_from_warc(
     warc: DataFrame,
     min_status: int = 200,
     max_status: int = 299,
 ) -> DataFrame:
     """Record table → documents-shaped relation (doc key, url, text):
-    keep 2xx HTML responses, decode bodies as UTF-8 (lossy decode —
-    crawl bytes are dirty by nature), strip tags natively.  The doc
-    key is the 60-bit md5-prefix of the URI (dedup._h64 — consistent
-    with every other cross-engine key in the repo)."""
+    keep 2xx HTML responses, decode bodies as UTF-8 (lossy — invalid
+    bytes become U+FFFD via :func:`lossy_utf8`; crawl bytes are dirty
+    by nature and must not abort the job), strip tags natively.  The
+    doc key is the 60-bit md5-prefix of the URI (dedup._h64 —
+    consistent with every other cross-engine key in the repo)."""
     from .dedup import _h64
 
     html = (
@@ -204,7 +229,7 @@ def docs_from_warc(
         .filter(F.lower(F.col("http_content_type")).contains("html"))
         .select(
             F.col("target_uri").alias("url"),
-            F.decode(F.col("body"), "UTF-8").alias("__html"),
+            lossy_utf8(F.col("body")).alias("__html"),
         )
     )
     return html.select(

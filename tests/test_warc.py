@@ -89,3 +89,23 @@ def test_docs_from_warc(spark, tmp_path):
     assert d["url"] == "http://a.example/"
     assert d["text"] == "Alpha & beta"  # tags + script stripped, entity unescaped
     assert d["doc_id"] >= 0
+
+
+def test_docs_from_warc_malformed_utf8(spark, tmp_path):
+    # real crawl bodies contain invalid byte sequences; the lossy decode
+    # must map them to U+FFFD instead of aborting the job (Spark 4 ANSI
+    # F.decode raises MALFORMED_CHARACTER_CODING)
+    dirty = [
+        (
+            "response",
+            "http://dirty.example/",
+            _http(200, "text/html; charset=utf-8",
+                  b"<html><body>ok \xff\xfe bad \xc3(</body></html>"),
+        ),
+    ]
+    (tmp_path / "dirty.warc").write_bytes(build_warc_bytes(dirty))
+    docs = docs_from_warc(read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    text = docs[0]["text"]
+    assert "ok" in text and "bad" in text
+    assert "�" in text  # lossy replacement, not an exception
