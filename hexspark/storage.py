@@ -21,7 +21,7 @@ Also provides the reference's raw ingest formats as sources/sinks
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import cells as cx
@@ -210,6 +210,30 @@ def write_docs_jsonl(df: DataFrame, path: str, n_files: "int | None" = None) -> 
     out.write.mode("overwrite").json(path)
 
 
+# Reversible newline escape for the line-splitting CSV interchange.
+# Spark's CSV writer emits literal newlines inside quoted fields, which
+# a spark.read.text line-splitter would shear into two quarantined
+# halves — so string columns are percent-escaped at write and reversed
+# at read.  The URL-encoding argument makes sequential literal replaces
+# exact: after encoding, every literal '%' starts "%25", so every
+# "%0A"/"%0D" occurrence is an encoded newline; decoding those first
+# and "%25" last cannot misfire.  All native F.replace — stays in
+# whole-stage codegen.
+_NL_ESCAPES = (("%", "%25"), ("\n", "%0A"), ("\r", "%0D"))
+
+
+def _escape_newlines(col: Column) -> Column:
+    for raw, esc in _NL_ESCAPES:
+        col = F.replace(col, F.lit(raw), F.lit(esc))
+    return col
+
+
+def _unescape_newlines(col: Column) -> Column:
+    for raw, esc in reversed(_NL_ESCAPES):
+        col = F.replace(col, F.lit(esc), F.lit(raw))
+    return col
+
+
 def read_docs_csv(
     spark: SparkSession,
     path: str,
@@ -225,9 +249,12 @@ def read_docs_csv(
 
     CSV caveat (why JSONL is the preferred interchange): embedded
     newlines in quoted fields need multiLine=true, which breaks
-    line-splittability — this reader is for one-record-per-line files
-    (the writer escapes newlines).
+    line-splittability — so :func:`write_docs_csv` percent-escapes
+    string columns and this reader reverses the escape, keeping files
+    one-record-per-line.
     """
+    from pyspark.sql.types import StringType as _Str
+
     full = f"{schema}, _corrupt_record STRING"
     parsed = spark.read.text(path).select(
         F.col("value").alias("raw_line"),
@@ -238,11 +265,20 @@ def read_docs_csv(
                 "mode": "PERMISSIVE",
                 "columnNameOfCorruptRecord": "_corrupt_record",
                 "sep": sep,
+                # the writer escapes embedded quotes with '"' (doubled
+                # quotes); the reader must agree or quote-bearing rows
+                # land in quarantine
+                "escape": '"',
             },
         ).alias("j"),
     )
     bad = F.col("j").isNull() | F.col("j._corrupt_record").isNotNull()
     valid = parsed.filter(~bad).select("j.*").drop("_corrupt_record")
+    valid = valid.select(*[
+        _unescape_newlines(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, _Str) else F.col(f.name)
+        for f in valid.schema.fields
+    ])
     quarantine = parsed.filter(bad).select("raw_line")
     return valid, quarantine
 
@@ -250,12 +286,19 @@ def read_docs_csv(
 def write_docs_csv(
     df: DataFrame, path: str, n_files: "int | None" = None, sep: str = ","
 ) -> None:
-    """Documents → CSV shards (quoted, newline-escaped so the
-    line-splitting reader round-trips; range-partitioned deterministic
-    shard contents like the JSONL writer)."""
-    out = df
+    """Documents → CSV shards (quoted; string columns percent-escaped
+    via ``_NL_ESCAPES`` so the line-splitting reader round-trips docs
+    whose text embeds newlines; range-partitioned deterministic shard
+    contents like the JSONL writer)."""
+    from pyspark.sql.types import StringType as _Str
+
+    out = df.select(*[
+        _escape_newlines(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, _Str) else F.col(f.name)
+        for f in df.schema.fields
+    ])
     if n_files is not None:
-        out = df.repartitionByRange(n_files, "doc_id")
+        out = out.repartitionByRange(n_files, "doc_id")
     (
         out.write.mode("overwrite")
         .option("escape", '"')

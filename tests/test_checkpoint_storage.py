@@ -561,6 +561,18 @@ def test_docs_csv_roundtrip_and_quarantine(spark, tmp_path):
     from hexspark.storage import read_docs_csv, write_docs_csv
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # the sf0.001 corpus has no newlines/commas/quotes — plant rows that
+    # stress the escape: embedded \n and \r (would shear the line
+    # splitter), literal %0A / % (escape-collision candidates), comma,
+    # quote
+    nasty = spark.createDataFrame(
+        [
+            (900000001, "line one\nline two\r\nline %0A three", "en", "web", 33),
+            (900000002, 'comma, "quoted", 100% done\\', "en", "web", 27),
+        ],
+        docs.schema,
+    )
+    docs = docs.unionByName(nasty)
     out = str(tmp_path / "docs_csv")
     write_docs_csv(docs, out, n_files=2)
     valid, quar = read_docs_csv(spark, out)
