@@ -137,11 +137,12 @@ def range_join(
         # session tz is pinned UTC, so NTZ -> TZ is a reinterpretation
         return F.unix_micros(F.col(c).cast("timestamp"))
 
+    widest = intervals.agg(
+        F.max(micros(end_col) - micros(start_col))
+    ).first()[0]
+    widest = int(widest or 0)
     if chunk_seconds is None:
-        widest = intervals.agg(
-            F.max(micros(end_col) - micros(start_col))
-        ).first()[0]
-        chunk_seconds = max(1, int(widest) // 1_000_000 + 1)
+        chunk_seconds = max(1, widest // 1_000_000 + 1)
     chunk_us = F.lit(int(chunk_seconds) * 1_000_000)
     i_lo = micros(start_col) - (micros(start_col) % chunk_us)
     i_hi = micros(end_col) - (micros(end_col) % chunk_us)
@@ -150,8 +151,14 @@ def range_join(
     cand = intervals.select(
         *ikeep, F.explode(F.sequence(i_lo, i_hi)).alias("__chunk")
     )
+    # broadcast gate must price the REAL explode fan-out: a caller-
+    # supplied chunk_seconds much smaller than the widest interval
+    # multiplies rows per interval (widest/chunk + 2 covers the two
+    # boundary chunks), and a hint computed as if fan-out were ≤4
+    # could broadcast far past the budget and OOM the driver
+    per_interval = widest // (int(chunk_seconds) * 1_000_000) + 2
     n_intervals = intervals.count()
-    if n_intervals * 4 <= broadcast_rows:
+    if n_intervals * per_interval <= broadcast_rows:
         cand = F.broadcast(cand)
     pts = points.select(
         point_key,

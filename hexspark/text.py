@@ -1010,6 +1010,14 @@ def shared_passages(
     """
     from pyspark.sql import Window
 
+    if min_len < n:
+        # a passage shorter than n tokens produces no n-gram match at
+        # all, so min_len < n would silently under-report instead of
+        # honoring the "every maximal passage >= min_len" contract
+        raise ValueError(
+            f"min_len ({min_len}) must be >= n ({n}): passages shorter "
+            "than the gram width are undetectable by n-gram matching"
+        )
     grams = ngrams_col(F.col(text_col), n)
     g = docs.select(
         F.col(doc_col).alias("doc"),
@@ -1052,6 +1060,11 @@ def shared_passages(
 
 def dd_shared_passages(n: int = 8, min_len: int = 16, max_df: "int | None" = None) -> str:
     """DuckDB twin of :func:`shared_passages` over documents."""
+    if min_len < n:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= n ({n}): passages shorter "
+            "than the gram width are undetectable by n-gram matching"
+        )
     cap = (
         f"""grams AS (
             SELECT * FROM grams0 WHERE gram IN (

@@ -122,6 +122,29 @@ def test_range_join_broadcast_plan(spark, sf_dir, events):
     assert "BroadcastHashJoin" in plan
 
 
+def test_range_join_broadcast_gate_prices_chunk_fanout(spark, sf_dir, events):
+    # a tiny caller-supplied chunk multiplies rows per interval; the
+    # broadcast gate must price that fan-out, not assume <=4.  Widest
+    # interval here is ~209 min -> chunk_seconds=60 explodes each
+    # interval into ~200+ chunks; with a budget that the OLD n*4
+    # estimate would have passed, the hint must NOT fire.
+    iv = _intervals(spark, sf_dir)
+    n = iv.count()
+    budget = n * 10  # old gate (n*4) would broadcast; true fan-out >> 10
+    out = range_join(iv, events, chunk_seconds=60, broadcast_rows=budget)
+    # the explicit hint must not fire (the planner may still pick a
+    # broadcast on its own size estimate at this tiny SF — that's AQE's
+    # call against autoBroadcastJoinThreshold, not ours against budget)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    wide_enough = range_join(iv, events, chunk_seconds=60)
+    analyzed2 = wide_enough._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed2.lower()  # default budget: hint fires
+    # and the result is still exact
+    b = set(map(tuple, _range_brute(iv, events).collect()))
+    assert set(map(tuple, out.collect())) == b
+
+
 def test_rolling_stats_vs_brute(events):
     """Trailing-2h features == brute-force self-join (count + exact
     cents sum, current row excluded, boundary inclusive)."""

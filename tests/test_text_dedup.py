@@ -784,6 +784,14 @@ def test_shared_passages_planted(spark):
     # max_df cap: the 20-word passage is in 2 docs; cap at 1 removes it
     capped = shared_passages(df, n=8, min_len=16, max_df=1).count()
     assert capped == 0
+    # min_len < n can't honor the exactness contract (sub-n passages
+    # produce no gram match) — must raise, not silently under-report
+    from hexspark.text import dd_shared_passages
+
+    with pytest.raises(ValueError, match="min_len"):
+        shared_passages(df, n=8, min_len=7)
+    with pytest.raises(ValueError, match="min_len"):
+        dd_shared_passages(n=8, min_len=7)
 
 
 def test_remove_passages_planted(spark):
