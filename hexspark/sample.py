@@ -155,18 +155,23 @@ def cap_per_domain(
     kept pages are the ``k`` lowest key-hash draws (salt 2 — composes
     with sampling/splitting, see :func:`sample_hash`), key tie-break.
 
-    Scale shape: two-phase per-key top-k (hexspark.topk) keyed on the
-    domain, so a mega-domain's pages never funnel into one reducer the
-    way a ``row_number().over(partitionBy(domain))`` window would.
-    Returns (domain, rank, key)."""
+    Scale shape: draw-threshold top-k (hexspark.topk
+    ``topk_per_key_by_draw``) keyed on the domain — the per-domain
+    count agg broadcasts a draw threshold back as a codegen filter, so
+    the exchange carries ~``safety × k`` rows per domain instead of the
+    whole corpus, and a mega-domain's pages never funnel into one
+    reducer the way a ``row_number().over(partitionBy(domain))``
+    window would.  Falls back to the plain two-phase form past the
+    counts broadcast budget.  Returns (domain, rank, key)."""
     from .text import domain_of
-    from .topk import topk_per_key
+    from .topk import topk_per_key_by_draw
 
     df = pages.withColumn("domain", domain_of(F.col(url_col)))
-    return topk_per_key(
+    return topk_per_key_by_draw(
         df,
         keys=["domain"],
-        order=[sample_hash(F.col(key_col), salt=2), F.col(key_col)],
+        draw=sample_hash(F.col(key_col), salt=2),
+        order_tail=[F.col(key_col)],
         payload=[key_col],
         k=k,
     )
@@ -478,18 +483,22 @@ def cap_per_tile(
     the ``k`` lowest key-hash draws (salt 4 — composes with the other
     deterministic selectors), key tie-break.
 
-    Same scale shape as the domain cap: two-phase per-key top-k keyed
-    on the tile, so a mega-tile never funnels into one reducer.
+    Same scale shape as the domain cap: draw-threshold top-k
+    (``topk_per_key_by_draw``) keyed on the tile — the tile relation
+    is bounded (≤ cells at ``tile_res``), so the count broadcast always
+    fits and the exchange carries ~``safety × k`` rows per tile instead
+    of the whole corpus; a mega-tile never funnels into one reducer.
     Returns (tile, rank, key).
     """
     from . import cells as cx
-    from .topk import topk_per_key
+    from .topk import topk_per_key_by_draw
 
     df = pages.withColumn("tile", cx.to_parent(cell_col, tile_res))
-    return topk_per_key(
+    return topk_per_key_by_draw(
         df,
         keys=["tile"],
-        order=[sample_hash(F.col(key_col), salt=CAP_TILE_SALT), F.col(key_col)],
+        draw=sample_hash(F.col(key_col), salt=CAP_TILE_SALT),
+        order_tail=[F.col(key_col)],
         payload=[key_col],
         k=k,
     )

@@ -80,3 +80,124 @@ def test_no_single_key_exchange_in_ann_plan(spark, sf_dir):
     import re
     sorts_on_bare_key = re.findall(r"Sort \[query_id[^\]]*\], false", plan)
     assert not sorts_on_bare_key, plan
+
+
+# ---------------------------------------------------------------------------
+# draw-threshold form (topk_per_key_by_draw)
+# ---------------------------------------------------------------------------
+
+def _bytes_of(metric_str):
+    import re
+    m = re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB)", metric_str)
+    assert m, metric_str
+    mult = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30}[m.group(2)]
+    return float(m.group(1)) * mult
+
+
+def _shuffle_bytes_during(spark, action):
+    """Total 'shuffle bytes written' across every SQL execution the
+    action triggers (the status store is the same source as the UI)."""
+    import time
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsList().length()
+    action()
+    time.sleep(0.5)  # status store updates are async
+    execs = store.executionsList()
+    total = 0.0
+    for idx in range(before, execs.length()):
+        e = execs.apply(idx)
+        mvals = store.executionMetrics(e.executionId())
+        ms = e.metrics()
+        for i in range(ms.length()):
+            m = ms.apply(i)
+            if m.name() == "shuffle bytes written":
+                v = mvals.get(m.accumulatorId())
+                if v.isDefined():
+                    total += _bytes_of(str(v.get()))
+    return total
+
+
+def test_topk_by_draw_matches_and_cuts_shuffle(spark):
+    """Identical rows to the plain two-phase form, with the exchange
+    volume collapsed from O(N) buffered rows to O(keys × k)."""
+    from hexspark.sample import sample_hash
+    from hexspark.topk import topk_per_key, topk_per_key_by_draw
+
+    df = (
+        spark.range(100_000)
+        .select(
+            (F.col("id") % 20).alias("key"),
+            F.col("id").alias("rid"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("blob"),
+        )
+        .repartition(16)
+        .persist()
+    )
+    df.count()  # materialize: both forms read from cache, no scan skew
+    draw = sample_hash(F.col("rid"), salt=9)
+    old_rows, new_rows = [], []
+    old_bytes = _shuffle_bytes_during(
+        spark,
+        lambda: old_rows.extend(
+            topk_per_key(
+                df, keys=["key"], order=[draw, F.col("rid")],
+                payload=["rid", "blob"], k=5,
+            ).collect()
+        ),
+    )
+    new_bytes = _shuffle_bytes_during(
+        spark,
+        lambda: new_rows.extend(
+            topk_per_key_by_draw(
+                df, keys=["key"], draw=draw, order_tail=[F.col("rid")],
+                payload=["rid", "blob"], k=5,
+            ).collect()
+        ),
+    )
+    assert sorted(map(tuple, old_rows)) == sorted(map(tuple, new_rows))
+    assert len(new_rows) == 20 * 5
+    # the whole point: the draw threshold keeps the corpus out of the
+    # exchange (counts agg + ~safety*k survivors per key, not 100k
+    # buffered structs)
+    assert new_bytes < old_bytes / 3, (old_bytes, new_bytes)
+    df.unpersist()
+
+
+def test_topk_by_draw_undershoot_rescue(spark):
+    """A key whose draws are all far above the threshold yields zero
+    survivors — the rescue pass must still produce its exact top-k."""
+    from hexspark.topk import topk_per_key, topk_per_key_by_draw
+
+    rows = [(1, i, 5000 + (i % 1000)) for i in range(1000)]   # all high
+    rows += [(2, 10_000 + i, (i * 37) % 10_000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key: long, rid: long, d: long").repartition(8)
+    got = topk_per_key_by_draw(
+        df, keys=["key"], draw=F.col("d"), order_tail=[F.col("rid")],
+        payload=["rid", "d"], k=5,
+    )
+    want = topk_per_key(
+        df, keys=["key"], order=[F.col("d"), F.col("rid")],
+        payload=["rid", "d"], k=5,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_topk_by_draw_key_count_fallback(spark):
+    """Past the counts broadcast budget the function must degrade to
+    the plain two-phase form verbatim (never a shuffled counts join)."""
+    from hexspark.topk import topk_per_key, topk_per_key_by_draw
+
+    df = spark.createDataFrame(
+        [(i % 50, i, (i * 7919) % 10_000) for i in range(5000)],
+        "key: long, rid: long, d: long",
+    )
+    got = topk_per_key_by_draw(
+        df, keys=["key"], draw=F.col("d"), order_tail=[F.col("rid")],
+        payload=["rid"], k=3, counts_broadcast_rows=10,
+    )
+    want = topk_per_key(
+        df, keys=["key"], order=[F.col("d"), F.col("rid")],
+        payload=["rid"], k=3,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
