@@ -450,14 +450,50 @@ def _loadavg() -> "float | None":
         return None
 
 
+def _cpu_jiffies() -> "tuple[int, int] | None":
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"] or len(parts) < 9:
+        return None
+    vals = [int(v) for v in parts[1:]]
+    return vals[7], sum(vals)  # field 9 overall = steal
+
+
+def steal_pct_between(
+    before: "tuple[int, int] | None", after: "tuple[int, int] | None"
+) -> "float | None":
+    """% of CPU the hypervisor stole between two _cpu_jiffies samples.
+
+    loadavg cannot see hypervisor steal (measured on this box: an
+    'idle' run with loadavg < 1 lost 7-14% of CPU to a co-tenant and
+    inflated single queries 2-4x), so the pollution label samples the
+    steal delta across the run as well."""
+    if before is None or after is None:
+        return None
+    dsteal = after[0] - before[0]
+    dtotal = after[1] - before[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
+
+
 # CLAUDE.md idle-box rule: a concurrent session skews queries 2-5x
 # (BENCH_r03 recorded q3 at 9.07s vs 1.76s idle).  Label the run so
 # polluted numbers are never compared like-for-like.
 LOAD_IDLE_MAX = float(os.environ.get("BENCH_LOAD_IDLE_MAX", "2.0"))
+# steal above this across the run marks the artifact polluted (CLAUDE.md:
+# 2.8-7.7% bursts measured on honest-looking runs; ≥2% already flips
+# sub-2s queries outside their noise band)
+STEAL_POLLUTED_PCT = float(os.environ.get("BENCH_STEAL_MAX_PCT", "2.0"))
 
 
 def main() -> None:
     load_start = _loadavg()
+    jiff_start = _cpu_jiffies()
     if load_start is not None and load_start > LOAD_IDLE_MAX:
         print(
             f"WARNING: 1-min loadavg {load_start} > {LOAD_IDLE_MAX} at bench"
@@ -476,6 +512,7 @@ def main() -> None:
     finally:
         spark.stop()
     total = round(sum(v for k, v in timings.items() if k.startswith("q")), 3)
+    steal = steal_pct_between(jiff_start, _cpu_jiffies())
     print(json.dumps({
         "metric": "spatial-join suite wall time (headline: q1 pages/sec region-assign)",
         "value": total,
@@ -484,8 +521,10 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "rounds_per_query": ROUNDS,
         "loadavg_start": load_start,
+        "steal_pct": steal,
         "load_polluted": bool(
-            load_start is not None and load_start > LOAD_IDLE_MAX
+            (load_start is not None and load_start > LOAD_IDLE_MAX)
+            or (steal is not None and steal > STEAL_POLLUTED_PCT)
         ),
         **extras,
     }))

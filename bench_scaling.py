@@ -139,6 +139,12 @@ def hardware_parallel_factor(n_small: int, n_big: int) -> float:
 
 
 def measure(spec) -> dict:
+    # sample hypervisor steal across the leg: loadavg cannot see it
+    # (CLAUDE.md — 7-14% bursts on otherwise-idle runs), and a stolen
+    # leg silently flips the efficiency number
+    from bench import _cpu_jiffies, steal_pct_between
+
+    j0 = _cpu_jiffies()
     script = WORKER.format(repo=REPO, sf_dir=SF_DIR, copies=COPIES, rounds=ROUNDS)
     out = subprocess.run(
         [sys.executable, "-c", script, str(spec)],
@@ -146,7 +152,9 @@ def measure(spec) -> dict:
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-4000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rec["steal_pct"] = steal_pct_between(j0, _cpu_jiffies())
+    return rec
 
 
 def n_cores(spec) -> int:
@@ -202,6 +210,13 @@ def run_pair(n_small, n_big) -> dict:
         "samples_sec": {
             ls: [round(m["sec"], 3) for m in smalls],
             lb: [round(m["sec"], 3) for m in bigs],
+        },
+        "samples_steal_pct": {
+            ls: [m.get("steal_pct") for m in smalls],
+            lb: [m.get("steal_pct") for m in bigs],
+        },
+        "best_leg_steal_pct": {
+            ls: small.get("steal_pct"), lb: big.get("steal_pct"),
         },
         ls: {"sec": round(small["sec"], 3),
              "pages_per_sec": round(small["pages_per_sec"], 1)},
