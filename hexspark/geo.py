@@ -291,10 +291,12 @@ def polyfill(
     polygon: Sequence[tuple[float, float]],
     res: int,
     flat_budget: int = 65536,
+    holes: "Sequence[Sequence[tuple[float, float]]] | None" = None,
 ) -> DataFrame:
     """Vector→raster: all res-``res`` grid cells whose centroid lies in
-    the polygon (the reference tests use ContainsCentroid polyfill,
-    /root/reference/src/iteration.rs:349-371).
+    the polygon (the reference tests use ContainsCentroid polyfill via
+    h3o, /root/reference/src/iteration.rs:349-371 — which also honors
+    interior rings, matched here by ``holes``).
 
     Strategy: enumerate candidate cell centers over the polygon's
     bounding box at the res-``res`` grid pitch *as a DataFrame range*
@@ -302,30 +304,46 @@ def polyfill(
     When the bbox enumeration would exceed ``flat_budget`` candidates
     (fine res over a large polygon), dispatch to the coarse-to-fine
     :func:`polyfill_hier`, whose cost is bounded by boundary length
-    instead of area — same output set (tested)."""
+    instead of area — same output set (tested).
+
+    ``holes``: interior rings (same (lat, lon) vertex convention).  The
+    fill is exterior-fill minus each hole's own ContainsCentroid fill —
+    exact at the cell level because :func:`polyfill_grid` snaps every
+    bbox to the same global lattice, so a centroid inside a hole
+    encodes to the identical cell id in both fills.  Boundary cells
+    follow the same crossing-rule tie-break as the exterior ring."""
     lats = [p[0] for p in polygon]
     lons = [p[1] for p in polygon]
     px, py, lat0, lon0, nx, ny = polyfill_grid(polygon, res)
     if ((max(lats) - min(lats)) / py + 2) * ((max(lons) - min(lons)) / px + 2) > flat_budget:
-        return polyfill_hier(spark, polygon, res)
-    grid = (
-        spark.range(ny * nx)
-        .select(
-            (F.lit(lat0) + (F.floor(F.col("id") / nx) + 0.5) * py).alias("lat"),
-            (F.lit(lon0) + (F.col("id") % nx + 0.5) * px).alias("lon"),
+        ext = polyfill_hier(spark, polygon, res)
+    else:
+        grid = (
+            spark.range(ny * nx)
+            .select(
+                (F.lit(lat0) + (F.floor(F.col("id") / nx) + 0.5) * py).alias("lat"),
+                (F.lit(lon0) + (F.col("id") % nx + 0.5) * px).alias("lon"),
+            )
         )
-    )
-    return (
-        grid.filter(pip_column(F.col("lat"), F.col("lon"), polygon))
-        .select(grid_encode(F.col("lat"), F.col("lon"), res).alias("cell"))
-        .distinct()
-    )
+        ext = (
+            grid.filter(pip_column(F.col("lat"), F.col("lon"), polygon))
+            .select(grid_encode(F.col("lat"), F.col("lon"), res).alias("cell"))
+            .distinct()
+        )
+    for hole in holes or ():
+        # holes are boundary-scale relative to the exterior: anti-join
+        # them out (AQE broadcasts the small side on its own estimate)
+        ext = ext.join(
+            polyfill(spark, hole, res, flat_budget), "cell", "left_anti"
+        )
+    return ext
 
 
 def polyfill_np(
     polygon: "Sequence[tuple[float, float]]",
     res: int,
     flat_budget: int = 4_000_000,
+    holes: "Sequence[Sequence[tuple[float, float]]] | None" = None,
 ) -> "np.ndarray":
     """Driver-side numpy :func:`polyfill` (same ContainsCentroid rule,
     same :func:`polyfill_grid` lattice — identical output, tested):
@@ -334,7 +352,11 @@ def polyfill_np(
     one-Spark-job-per-polygon into microseconds per polygon; callers
     must keep it off corpus-scale paths.  Raises when the bbox
     enumeration exceeds ``flat_budget`` candidates — fall back to the
-    distributed :func:`polyfill` for continent-at-fine-res shapes."""
+    distributed :func:`polyfill` for continent-at-fine-res shapes.
+
+    ``holes``: interior rings — exterior fill minus each hole's fill
+    (exact at the cell level; the shared global lattice makes the two
+    fills encode identical cell ids — see :func:`polyfill`)."""
     px, py, lat0, lon0, nx, ny = polyfill_grid(polygon, res)
     if nx * ny > flat_budget:
         raise ValueError(
@@ -345,7 +367,12 @@ def polyfill_np(
     lat = lat0 + (ii // nx + 0.5) * py
     lon = lon0 + (ii % nx + 0.5) * px
     keep = point_in_polygon_np(lat, lon, polygon)
-    return np.unique(grid_encode_np(lat[keep], lon[keep], res))
+    cells = np.unique(grid_encode_np(lat[keep], lon[keep], res))
+    for hole in holes or ():
+        cells = np.setdiff1d(
+            cells, polyfill_np(hole, res, flat_budget), assume_unique=True
+        )
+    return cells
 
 
 def _segment_intersects_rect(
@@ -891,6 +918,18 @@ def sq_dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     return dy * dy + dx * dx
 
 
+def sq_dist_wrapped(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """:func:`sq_dist` with the longitude difference taken the short
+    way around the antimeridian: dx = min(|Δlon|, 360 − |Δlon|).  Same
+    deterministic plain arithmetic (abs/least, no trig)."""
+    dy = lat1 - lat2
+    adx = F.abs(lon1 - lon2)
+    dx = F.least(adx, F.lit(360.0) - adx)
+    return dy * dy + dx * dx
+
+
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in km (native trig Columns)."""
     r1, r2 = F.radians(lat1), F.radians(lat2)
@@ -921,6 +960,11 @@ def knn_join(
 
     Scale path: pre-filter candidates by shared coarse cell prefix
     (see :func:`knn_join_pruned`) before the exact ranking.
+
+    Antimeridian: the ``sq`` metric treats longitude flat (no ±180°
+    wrap — matches the DuckDB oracle); ``metric='haversine'`` is
+    seam-correct.  For a wrapped planar metric compose with
+    :func:`sq_dist_wrapped` via :func:`distance_join(wrap_lon=True)`.
     """
     from .topk import topk_per_key
 
@@ -1015,6 +1059,7 @@ def distance_join(
     res: Optional[int] = None,
     pairs_once: bool = False,
     broadcast_rows: int = 4_000_000,
+    wrap_lon: bool = False,
 ) -> DataFrame:
     """All (probe, point) pairs within ``radius`` — the classic spatial
     epsilon/radius join the reference composes from k-ring expansion
@@ -1035,8 +1080,14 @@ def distance_join(
     stencil fits the broadcast budget (the reference's shape: a bounded
     probe set against a huge stored table); above the budget it
     degrades to a shuffled equi-join on the cell key — never an
-    unbounded broadcast, never a cross join.  Longitude is treated flat
-    (no antimeridian wrap), matching the GridEncoder's planar lattice.
+    unbounded broadcast, never a cross join.
+
+    Antimeridian: by default longitude is flat (no ±180° wrap),
+    matching the GridEncoder's planar lattice and the DuckDB oracle.
+    ``wrap_lon=True`` makes the stencil wrap on the i axis (indices
+    taken modulo ``ni``) and refines with :func:`sq_dist_wrapped`
+    (Δlon the short way around), so Pacific data pairs across the seam.
+    Latitude never wraps (the poles are lattice edges, not a seam).
 
     ``radius`` is in degrees of the sq metric.  ``pairs_once`` keeps
     each unordered pair once (probe_key < point_key) for self-joins.
@@ -1065,6 +1116,10 @@ def distance_join(
         pi.alias("__pi"),
         pj.alias("__pj"),
     )
+    raw_i = F.col("__pi") + F.col("__di")
+    # wrap: stencil indices modulo ni on the i axis (pmod keeps the
+    # result non-negative for seam-left probes); flat: clip at the edge
+    i_expr = F.pmod(raw_i, F.lit(ni)) if wrap_lon else raw_i
     cand = (
         base.withColumn("__di", F.explode(F.sequence(F.lit(-kx), F.lit(kx))))
         .withColumn("__dj", F.explode(F.sequence(F.lit(-ky), F.lit(ky))))
@@ -1072,7 +1127,7 @@ def distance_join(
             out_pk,
             "__plat",
             "__plon",
-            (F.col("__pi") + F.col("__di")).alias("__i"),
+            i_expr.alias("__i"),
             (F.col("__pj") + F.col("__dj")).alias("__j"),
         )
         .filter(
@@ -1084,6 +1139,10 @@ def distance_join(
             ij_to_cell(F.col("__i"), F.col("__j"), res).alias("__cell"),
         )
     )
+    if wrap_lon and 2 * kx + 1 >= ni:
+        # a stencil at least the full i range wraps onto itself —
+        # dedupe so each (probe, cell) candidate joins once
+        cand = cand.dropDuplicates([out_pk, "__cell"])
     n_probes = probes.count()
     if n_probes * (2 * kx + 1) * (2 * ky + 1) <= broadcast_rows:
         cand = F.broadcast(cand)
@@ -1093,7 +1152,8 @@ def distance_join(
         F.col(qlon).alias("__qlon"),
         grid_encode(F.col(qlat), F.col(qlon), res).alias("__cell"),
     )
-    d = sq_dist(
+    metric = sq_dist_wrapped if wrap_lon else sq_dist
+    d = metric(
         F.col("__plat"), F.col("__plon"), F.col("__qlat"), F.col("__qlon")
     )
     out = (

@@ -380,9 +380,11 @@ def regions_from_geojson(
     map :func:`region_map` builds from the inline REGIONS dict — the
     production polygon-source path (any GIS tool exports this format).
 
-    Only exterior rings are rasterized (polyfill has no hole support;
-    holes raise rather than silently over-cover).  GeoJSON positions
-    are (lon, lat) — flipped here to the engine's (lat, lon).  Region
+    Interior rings (holes) are honored: each polygon rasterizes as
+    exterior-fill minus its holes' fills (ContainsCentroid on both
+    rings — the h3o polyfill semantics the reference tests rely on).
+    GeoJSON positions are (lon, lat) — flipped here to the engine's
+    (lat, lon).  Region
     names come from ``properties[name_property]``, falling back to the
     feature ``id`` or its index.  Polygons of one MultiPolygon share
     the feature's name (their cells union under the EqCompactor).
@@ -429,25 +431,25 @@ def regions_from_geojson(
                 f"feature {name!r}: unsupported geometry {gtype!r}"
             )
         for rings in polys:
-            if len(rings) > 1:
-                raise ValueError(
-                    f"feature {name!r}: interior rings (holes) are not"
-                    " supported by polyfill"
-                )
-            ring = rings[0]
-            # GeoJSON closes the ring (first == last); polyfill takes
-            # an open vertex list in (lat, lon)
-            verts = [(float(lat), float(lon)) for lon, lat in ring]
-            if len(verts) > 1 and verts[0] == verts[-1]:
-                verts = verts[:-1]
+            def _open(ring):
+                # GeoJSON closes rings (first == last); polyfill takes
+                # an open vertex list in (lat, lon)
+                verts = [(float(lat), float(lon)) for lon, lat in ring]
+                if len(verts) > 1 and verts[0] == verts[-1]:
+                    verts = verts[:-1]
+                return verts
+
+            verts = _open(rings[0])
+            # interior rings: exterior fill minus hole fills
+            # (ContainsCentroid on both — h3o polyfill semantics)
+            hole_verts = [_open(r) for r in rings[1:]]
             try:
-                for c in polyfill_np(verts, res):
+                for c in polyfill_np(verts, res, holes=hole_verts):
                     rows.append((int(c), str(name)))
             except ValueError:
                 parts.append(
-                    polyfill(spark, verts, res).withColumn(
-                        "region", F.lit(str(name))
-                    )
+                    polyfill(spark, verts, res, holes=hole_verts)
+                    .withColumn("region", F.lit(str(name)))
                 )
     if not parts and not rows:
         raise ValueError("FeatureCollection has no polygon features")

@@ -386,6 +386,44 @@ def test_distance_join_vs_brute(spark):
     assert distance_join_res(0.3) == 4  # min axis width at res 4: 0.334 deg
 
 
+def test_distance_join_antimeridian_wrap(spark):
+    """wrap_lon=True pairs Pacific points across ±180°: stencil indices
+    wrap modulo ni and the refine takes Δlon the short way around.
+    Flat mode (the default/oracle form) must NOT pair across the seam."""
+    from hexspark.geo import distance_join, sq_dist_wrapped
+
+    rows = [
+        (1, 10.0, 179.5), (2, 10.0, -179.6),   # 0.9° apart across seam
+        (3, 10.0, 178.0), (4, -40.0, -178.5),  # far in lat
+        (5, 10.5, -179.9),                     # near 1 and 2
+        (6, 10.0, 0.0),                        # opposite side of globe
+    ]
+    pts = spark.createDataFrame(rows, "k: long, lat: double, lon: double")
+    probes = pts.select(
+        F.col("k").alias("probe"), F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+    )
+    kw = dict(probe_key="probe", point_key="k",
+              probe_cols=("plat", "plon"), point_cols=("lat", "lon"))
+    wrapped = distance_join(probes, pts, 2.0, wrap_lon=True, **kw)
+    g = set(map(tuple, wrapped.select("probe", "k").collect()))
+    # brute force with the wrapped metric
+    brute = (
+        probes.crossJoin(pts)
+        .withColumn("d", sq_dist_wrapped(
+            F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")))
+        .filter(F.col("d") <= 4.0)
+        .select("probe", "k")
+    )
+    b = set(map(tuple, brute.collect()))
+    assert g == b
+    assert (1, 2) in g and (2, 1) in g      # the seam pair is found
+    flat = distance_join(probes, pts, 2.0, **kw)
+    f = set(map(tuple, flat.select("probe", "k").collect()))
+    assert (1, 2) not in f                  # flat mode: seam not crossed
+    assert all(p == q for p, q in f - g) or f - g == set()
+
+
 def test_distance_join_shuffle_branch_and_plan(spark):
     from hexspark.geo import distance_join
 
@@ -534,14 +572,69 @@ def test_regions_from_geojson(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
-    with _pytest.raises(ValueError, match="holes"):
-        holed = json.loads(json.dumps(gj))
-        holed["features"][0]["geometry"]["coordinates"].append(
-            ring([(30.0, -95.0), (31.0, -95.0), (31.0, -94.0)])
-        )
-        regions_from_geojson(spark, holed, res=4)
     with _pytest.raises(ValueError, match="FeatureCollection"):
         regions_from_geojson(spark, {"type": "Feature"}, res=4)
+
+
+def test_polyfill_holes(spark):
+    """Donut fill: exterior minus interior ring, ContainsCentroid on
+    both.  Cells whose centroid falls inside the hole are excluded,
+    ring cells kept, and numpy == distributed == exterior-minus-hole
+    set difference."""
+    import numpy as np
+
+    from hexspark.geo import (
+        grid_encode_np, point_in_polygon_np, polyfill, polyfill_np,
+    )
+
+    res = 6
+    ext = [(10.0, 20.0), (10.0, 30.0), (20.0, 30.0), (20.0, 20.0)]
+    hole = [(13.0, 23.0), (13.0, 27.0), (17.0, 27.0), (17.0, 23.0)]
+    full = polyfill_np(ext, res)
+    hole_fill = polyfill_np(hole, res)
+    donut = polyfill_np(ext, res, holes=[hole])
+    assert sorted(donut) == sorted(np.setdiff1d(full, hole_fill))
+    assert 0 < len(donut) < len(full)
+    # a point deep in the hole maps to a cell NOT in the donut; a point
+    # in the ring area maps to a cell in it
+    hole_cell = int(grid_encode_np(np.array([15.0]), np.array([25.0]), res)[0])
+    ring_cell = int(grid_encode_np(np.array([11.0]), np.array([21.0]), res)[0])
+    assert hole_cell not in set(int(c) for c in donut)
+    assert ring_cell in set(int(c) for c in donut)
+    # distributed form agrees cell-for-cell
+    dist = sorted(
+        r["cell"] for r in polyfill(spark, ext, res, holes=[hole]).collect()
+    )
+    assert dist == sorted(int(c) for c in donut)
+
+
+def test_regions_from_geojson_with_holes(spark):
+    """A holed Polygon feature loads as exterior-fill minus hole-fill
+    (h3o polyfill semantics)."""
+    from hexspark.geo import polyfill_np
+    from hexspark.ops import regions_from_geojson
+
+    def ring(poly):
+        r = [[lon, lat] for lat, lon in poly]
+        return r + [r[0]]
+
+    ext = [(10.0, 20.0), (10.0, 30.0), (20.0, 30.0), (20.0, 20.0)]
+    hole = [(13.0, 23.0), (13.0, 27.0), (17.0, 27.0), (17.0, 23.0)]
+    gj = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "properties": {"name": "donut"},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [ring(ext), ring(hole)],
+            },
+        }],
+    }
+    got = regions_from_geojson(spark, gj, res=6, compact=False).collect()
+    want = sorted(int(c) for c in polyfill_np(ext, 6, holes=[hole]))
+    assert sorted(r["cell"] for r in got) == want
+    assert {r["region"] for r in got} == {"donut"}
 
 
 def test_regions_geojson_roundtrip(spark, tmp_path):
