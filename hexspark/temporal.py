@@ -42,6 +42,7 @@ def asof_join(
     order_col: str = "event_id",
     tolerance: Optional[str] = None,
     suffix: str = "_m",
+    split_seconds: Optional[int] = None,
 ) -> DataFrame:
     """Left as-of join: each probe row gains the latest build row with
     ``build.ts_col <= probe.ts_col`` sharing ``on`` (NULLs when none).
@@ -57,10 +58,14 @@ def asof_join(
 
     Scale: one hash exchange on ``on`` + per-key sort — the minimal
     work any merge-asof does.  A pathologically hot key serializes its
-    own sort only; pre-split such keys by coarse time range and stitch
-    (the running-last window composes across splits whose boundaries
-    carry the last build row forward).
-    """
+    own window sort; ``split_seconds`` bounds that by partitioning the
+    window on ``(key, coarse time chunk)`` instead — the hot key's rows
+    spread across chunks (executed-plan-asserted in tests), the
+    within-chunk running-last misses only matches from earlier chunks,
+    and those are stitched back via a per-(key, chunk) carry-forward:
+    the latest build row of every earlier chunk, computed on the TINY
+    (key, chunk) relation and joined back.  Output is identical to the
+    unsplit form (tested)."""
     b_sel = build.select(
         F.col(on).alias("__k"),
         F.col(ts_col).alias("__ts"),
@@ -83,14 +88,65 @@ def asof_join(
     u = p_sel.withColumn("__b", F.lit(None).cast(b_t)).unionByName(
         b_sel.withColumn("__p", F.lit(None).cast(p_t))
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side", "__ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = u.withColumn("__m", F.last("__b", ignorenulls=True).over(w)).filter(
-        F.col("__side") == 1
-    )
+    if split_seconds is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side", "__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = u.withColumn(
+            "__m", F.last("__b", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == 1)
+    else:
+        chunk_us = int(split_seconds) * 1_000_000
+        u = u.withColumn(
+            "__chunk",
+            (
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                - (F.unix_micros(F.col("__ts").cast("timestamp")) % chunk_us)
+            )
+            / F.lit(chunk_us),
+        )
+        w = (
+            Window.partitionBy("__k", "__chunk")
+            .orderBy("__ts", "__side", "__ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # carry-forward: latest build row of every STRICTLY earlier
+        # chunk, per (key, chunk) — both relations are bounded by the
+        # number of occupied (key, chunk) pairs, not by row volume
+        per_chunk = (
+            u.filter(F.col("__side") == 0)
+            .groupBy("__k", "__chunk")
+            .agg(
+                F.max_by(
+                    "__b", F.struct(F.col("__ts"), F.col("__ord"))
+                ).alias("__last_b")
+            )
+        )
+        spine = u.select("__k", "__chunk").distinct()
+        wc = (
+            Window.partitionBy("__k")
+            .orderBy("__chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            spine.join(per_chunk, ["__k", "__chunk"], "left")
+            .withColumn(
+                "__carry", F.last("__last_b", ignorenulls=True).over(wc)
+            )
+            .select("__k", "__chunk", "__carry")
+        )
+        out = (
+            u.join(carry, ["__k", "__chunk"], "left")
+            .withColumn(
+                "__m",
+                F.coalesce(
+                    F.last("__b", ignorenulls=True).over(w), F.col("__carry")
+                ),
+            )
+            .filter(F.col("__side") == 1)
+        )
     if tolerance is not None:
         keep = F.col("__m.__bts") >= F.col("__ts") - F.expr(
             f"INTERVAL {tolerance}"

@@ -58,6 +58,39 @@ def test_asof_join_vs_brute(events):
     assert 0 < n_matched < len(g)
 
 
+def test_asof_join_split_matches_unsplit(events):
+    """The split_seconds hot-key pre-split returns row-identical output
+    to the unsplit window form (including tolerance nulling), and the
+    executed plan shows the hot key's rows hash-spread over the
+    (key, chunk) pair, not serialized into one per-key partition."""
+    probes = events.filter(F.col("event_type") == "purchase")
+    build = events.filter(F.col("event_type") == "click")
+    # plant a pathologically hot key: every build row duplicated onto
+    # one user spanning the full time range
+    hot_b = build.withColumn("user_id", F.lit(99999))
+    hot_p = probes.limit(50).withColumn("user_id", F.lit(99999))
+    b2, p2 = build.unionByName(hot_b), probes.unionByName(hot_p)
+    kw = dict(on="user_id", ts_col="ts", payload=("event_id", "value"),
+              order_col="event_id")
+    base = asof_join(p2, b2, **kw)
+    split = asof_join(p2, b2, split_seconds=6 * 3600, **kw)
+    assert _asof_map(
+        split.select("event_id", "ts_m", "event_id_m", "value_m")
+    ) == _asof_map(base.select("event_id", "ts_m", "event_id_m", "value_m"))
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "__chunk" in plan
+    import re
+    # the big window's exchange partitions on (key, chunk)
+    assert re.search(r"hashpartitioning\(__k#\d+L?, __chunk#\d+", plan), plan
+    # tolerance composes with the split
+    base_t = asof_join(p2, b2, tolerance="'6' HOUR", **kw)
+    split_t = asof_join(p2, b2, tolerance="'6' HOUR",
+                        split_seconds=3600, **kw)
+    assert _asof_map(
+        split_t.select("event_id", "ts_m", "event_id_m", "value_m")
+    ) == _asof_map(base_t.select("event_id", "ts_m", "event_id_m", "value_m"))
+
+
 def test_asof_join_tolerance(events):
     probes = events.filter(F.col("event_type") == "purchase")
     build = events.filter(F.col("event_type") == "click")
