@@ -219,6 +219,10 @@ def run_corpus_pipeline(
     bits: int = 64,
     pair_miner: str = "simhash",
     docs: "DataFrame | None" = None,
+    remove_shared_passages: bool = False,
+    passage_n: int = 8,
+    passage_min_len: int = 16,
+    passage_max_df: "int | None" = 128,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the training-corpus curation pipeline end to end
     — the dedup analogue of :func:`run_pipeline`, every stage
@@ -247,6 +251,19 @@ def run_corpus_pipeline(
        re-run pipeline reproduces the identical corpus)
     7. ``corpus_stats``  — per-language keeper counts + token totals
        (with the pre-dedup counts for the reduction ratio)
+    8. optional (``remove_shared_passages=True``) exact substring
+       dedup over the surviving docs:
+       ``passages``      — maximal cross-doc shared spans
+       (text.shared_passages at ``passage_n``/``passage_min_len``,
+       CAPPED at ``passage_max_df`` — at web scale ultra-common grams
+       are boilerplate and an uncapped inverted index fans out on
+       them; the cap is never silent:
+       ``passage_stats``  — one row (n_capped_grams, max_doc_freq)
+       from text.capped_gram_stats, same frequency definition as the
+       cap, logged on build), and
+       ``cleaned_docs``  — remove_passages applied (one copy of each
+       shared span survives corpus-wide).  Pass
+       ``passage_max_df=None`` to run the exact oracle form instead.
 
     ``bits=64`` is the production simhash width: 32-bit signatures
     saturate with birthday collisions around 10^5 documents (measured
@@ -327,6 +344,54 @@ def run_corpus_pipeline(
         inputs=stats_inputs,
         params=p_samp if sample_bps > 0 else p_keep,
     )
+
+    if remove_shared_passages:
+        import logging
+
+        from .text import capped_gram_stats, remove_passages, shared_passages
+
+        p_pass = {
+            **(p_samp if sample_bps > 0 else p_keep),
+            "passage_n": passage_n,
+            "passage_min_len": passage_min_len,
+            "passage_max_df": passage_max_df,
+        }
+        survivors = final
+        keeper_docs = docs.join(
+            survivors.select("doc_id"), "doc_id", "semi"
+        )
+        spans = ck.stage(
+            "passages",
+            lambda: shared_passages(
+                keeper_docs, n=passage_n, min_len=passage_min_len,
+                max_df=passage_max_df,
+            ),
+            inputs=stats_inputs,
+            params=p_pass,
+        )
+        pstats = ck.stage(
+            "passage_stats",
+            lambda: capped_gram_stats(
+                keeper_docs, n=passage_n, max_df=passage_max_df
+            ),
+            inputs=stats_inputs,
+            params=p_pass,
+        )
+        # no silent cap: say what the max_df cap dropped
+        srow = pstats.first()
+        logging.getLogger(__name__).info(
+            "passages: max_df=%s capped %d gram(s) (max doc freq %d)",
+            passage_max_df, srow["n_capped_grams"], srow["max_doc_freq"],
+        )
+        cleaned = ck.stage(
+            "cleaned_docs",
+            lambda: remove_passages(keeper_docs, spans),
+            inputs=["passages"],
+            params=p_pass,
+        )
+        out["passages"] = spans
+        out["passage_stats"] = pstats
+        out["cleaned_docs"] = cleaned
 
     active = {"doc_features", "signatures", "dup_pairs", "dup_clusters",
               "keepers", "corpus_stats"} | set(out)

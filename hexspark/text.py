@@ -1058,6 +1058,38 @@ def shared_passages(
     return spans.select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
 
 
+def capped_gram_stats(
+    docs: "DataFrame",
+    n: int = 8,
+    max_df: "int | None" = None,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """One-row audit of what a :func:`shared_passages` ``max_df`` cap
+    drops: the count of distinct ``n``-grams whose document frequency
+    exceeds the cap, and the highest doc-frequency seen.  Same
+    tokenization and same COUNT(DISTINCT doc) frequency definition as
+    the cap itself, so the number is exactly the set of grams the cap
+    silences.  The corpus pipeline surfaces this so a capped passage
+    pass is never a silent truncation.  Returns
+    ``(n_capped_grams, max_doc_freq)``; zero/zero when ``max_df`` is
+    None (nothing dropped — exact mode)."""
+    g = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+    per_gram = g.groupBy("gram").agg(F.count_distinct("doc").alias("__df"))
+    dropped = (
+        per_gram.filter(F.col("__df") > max_df)
+        if max_df is not None
+        else per_gram.filter(F.lit(False))
+    )
+    return dropped.agg(
+        F.count(F.lit(1)).alias("n_capped_grams"),
+        F.coalesce(F.max("__df"), F.lit(0)).cast("long").alias("max_doc_freq"),
+    )
+
+
 def dd_shared_passages(n: int = 8, min_len: int = 16, max_df: "int | None" = None) -> str:
     """DuckDB twin of :func:`shared_passages` over documents."""
     if min_len < n:

@@ -64,6 +64,70 @@ def test_corpus_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     }
 
 
+def test_corpus_pipeline_passage_removal(spark, sf_dir, tmp_path):
+    """remove_shared_passages=True adds checkpointed passages /
+    passage_stats / cleaned_docs stages: planted shared passages are
+    mined among KEEPER docs, one copy survives after cleaning, the
+    max_df audit row is surfaced, and resume reads the stages back."""
+    from pyspark.sql import functions as F
+
+    from hexspark.pipeline import run_corpus_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    common = " ".join(f"shared{i}" for i in range(20))
+    planted = spark.createDataFrame(
+        [
+            (900001, f"alpha opening {common} alpha closing words here", "en",
+             "web", 60),
+            (900002, f"totally other beginning {common} and an ending", "en",
+             "web", 61),
+        ],
+        docs.schema,
+    )
+    docs = docs.unionByName(planted)
+    root = str(tmp_path / "corpus_pass")
+    out = run_corpus_pipeline(
+        spark, sf_dir, root, docs=docs, remove_shared_passages=True,
+        passage_max_df=64,
+    )
+    spans = out["passages"].collect()
+    assert any(
+        r["doc_a"] == 900001 and r["doc_b"] == 900002 and r["len_tokens"] >= 20
+        for r in spans
+    )
+    cleaned = out["cleaned_docs"]
+    c1 = cleaned.filter(F.col("doc_id") == 900001).first()
+    c2 = cleaned.filter(F.col("doc_id") == 900002).first()
+    assert c1 is not None and c2 is not None
+    # lower doc keeps the passage, higher doc loses exactly it
+    assert "shared0" in c1["clean_text"]
+    assert "shared0" not in c2["clean_text"]
+    assert c2["removed_tokens"] >= 20
+    srow = out["passage_stats"].first()
+    assert srow["n_capped_grams"] == 0  # synthetic corpus: nothing capped
+    lin = out["lineage"]
+    for st in ("passages", "passage_stats", "cleaned_docs"):
+        assert lin[st]["complete"], st
+    # resume: no recompute
+    out2 = run_corpus_pipeline(
+        spark, sf_dir, root, docs=docs, remove_shared_passages=True,
+        passage_max_df=64,
+    )
+    lin2 = out2["lineage"]
+    assert {s: lin2[s]["finished_at"] for s in lin2} == {
+        s: lin[s]["finished_at"] for s in lin
+    }
+    # a tiny cap drops the planted 20-token passage's grams and SAYS so
+    # (the audit row is the no-silent-cap contract)
+    out3 = run_corpus_pipeline(
+        spark, sf_dir, str(tmp_path / "corpus_cap1"), docs=docs,
+        remove_shared_passages=True, passage_max_df=1,
+    )
+    srow3 = out3["passage_stats"].first()
+    assert srow3["n_capped_grams"] >= 13  # the 20-token passage's grams
+    assert srow3["max_doc_freq"] >= 2
+
+
 def test_select_keepers_quality_floor(spark):
     """A cluster survives the quality floor as long as ANY member
     passes: the keeper is the min id AMONG qualified members, not the
