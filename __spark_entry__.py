@@ -592,6 +592,79 @@ def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIST_WRAP_RADIUS = 2.0  # degrees; anchors straddle the antimeridian
+
+
+def q_distance_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Antimeridian radius join: anchors planted on both sides of ±180°
+    pair with pages across the seam (geo.distance_join wrap_lon=True —
+    stencil modulo ni + sq_dist_wrapped refine; the oracle is a brute
+    cross join with the wrapped metric)."""
+    pages = synth_pages(
+        spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False
+    ).select("page_key", "lat", "lon")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    alat, _ = synth.latlon_from_key(F.col("n_nationkey") * 7919 + 13)
+    alon = (
+        (F.lit(1) - F.lit(2) * (F.col("n_nationkey") % 2))
+        * (F.lit(179.9) - (F.col("n_nationkey") % 7) * F.lit(0.15))
+    )
+    anchors = nation.select(
+        F.col("n_nationkey").alias("anchor_id"),
+        alat.alias("alat"), alon.alias("alon"),
+    )
+    return distance_join(
+        anchors, pages, DIST_WRAP_RADIUS,
+        probe_key="anchor_id", point_key="page_key",
+        probe_cols=("alat", "alon"), point_cols=("lat", "lon"),
+        wrap_lon=True,
+    )
+
+
+def q_asof_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_asof_events through the hot-key pre-split path
+    (split_seconds=6h): the (key, chunk)-partitioned window + carry-
+    forward stitch must be row-identical to the unsplit form, so it
+    shares asof_events' oracle verbatim."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    build = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        probes, build, tolerance=f"'{ASOF_TOL_HOURS}' HOUR",
+        split_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_m").cast("timestamp")).alias("ts_m_us"),
+        "event_id_m", "value_m",
+    )
+
+
+DONUT_EXT = [(10.0, 20.0), (10.0, 30.0), (20.0, 30.0), (20.0, 20.0)]
+DONUT_HOLE = [(13.0, 23.0), (13.0, 27.0), (17.0, 27.0), (17.0, 23.0)]
+DONUT_RES = 6
+
+
+def q_polyfill_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donut polyfill: exterior ContainsCentroid fill minus the
+    interior ring's fill (geo.polyfill holes= — h3o polyfill semantics,
+    /root/reference/src/iteration.rs:349-371)."""
+    from hexspark.geo import polyfill
+
+    return polyfill(spark, DONUT_EXT, DONUT_RES, holes=[DONUT_HOLE])
+
+
+def q_capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared-passage cap's audit row (text.capped_gram_stats):
+    how many grams a max_df cap silences and the highest doc frequency
+    — the pipeline's no-silent-cap contract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.capped_gram_stats(docs, n=8, max_df=1)
+
+
 def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     inside = pip_column(F.col("lat"), F.col("lon"), ops.REGIONS["alpha"])
@@ -1495,6 +1568,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_keepers": q_incremental_keepers,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        # -- new in r6 (never driver-checked yet): rotate into the
+        # -- window next round
+        "distance_join_wrap": q_distance_join_wrap,
+        "asof_events_split": q_asof_events_split,
+        "polyfill_holes": q_polyfill_holes,
+        "capped_grams": q_capped_grams,
     }
 
 
@@ -1615,4 +1694,18 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _dd_blocklist_filter(),
         "remove_boilerplate": _dd_remove_boilerplate(),
         "mix_corpus": _dd_mix_corpus(),
+        "distance_join_wrap": oracles.q_distance_join_wrap(
+            DIST_WRAP_RADIUS, COPIES, PAGE_RES
+        ),
+        # identical oracle to asof_events by design: the split path
+        # must be row-identical to the unsplit window form
+        "asof_events_split": oracles.q_asof_events(ASOF_TOL_HOURS),
+        "polyfill_holes": (
+            "SELECT cell FROM ("
+            + oracles.dd_polyfill_cte(DONUT_EXT, DONUT_RES, "d")
+            + ") WHERE cell NOT IN (SELECT cell FROM ("
+            + oracles.dd_polyfill_cte(DONUT_HOLE, DONUT_RES, "h")
+            + "))"
+        ),
+        "capped_grams": tx.dd_capped_gram_stats(n=8, max_df=1),
     }

@@ -699,6 +699,33 @@ def q_distance_join(radius: float, copies: int, page_res: int = 12) -> str:
     """
 
 
+def q_distance_join_wrap(radius: float, copies: int, page_res: int = 12) -> str:
+    """Brute-force twin of geo.distance_join(wrap_lon=True): cross join
+    + the WRAPPED sq metric (Δlon the short way around ±180°), with
+    seam-straddling anchors derived from nation keys.  Mirrors
+    geo.sq_dist_wrapped's association order (lat term first; least of
+    |Δlon| and 360−|Δlon|)."""
+    alat, _ = synth.dd_latlon_from_key("(n_nationkey * 7919 + 13)")
+    # CAST the literals: DuckDB parses 179.9/0.15 as DECIMAL and would
+    # do exact decimal arithmetic, diverging from Spark's float64 by ULPs
+    alon = ("((1 - 2 * (n_nationkey % 2)) * "
+            "(CAST(179.9 AS DOUBLE) - "
+            "(n_nationkey % 7) * CAST(0.15 AS DOUBLE)))")
+    r2 = repr(float(radius) * float(radius))
+    dx = "LEAST(ABS(a.alon - p.lon), 360.0 - ABS(a.alon - p.lon))"
+    d = f"(a.alat - p.lat) * (a.alat - p.lat) + {dx} * {dx}"
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        anchors AS (
+            SELECT n_nationkey AS anchor_id, {alat} AS alat, {alon} AS alon
+            FROM nation
+        )
+        SELECT a.anchor_id, p.page_key, {d} AS dist
+        FROM anchors a, pages p
+        WHERE {d} <= {r2}
+    """
+
+
 def q_asof_events(tolerance_hours: int) -> str:
     """Independent DuckDB twin of temporal.asof_join over events:
     nested-loop LEFT JOIN + QUALIFY row_number picks the same latest

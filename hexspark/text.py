@@ -1090,6 +1090,37 @@ def capped_gram_stats(
     )
 
 
+def dd_capped_gram_stats(n: int = 8, max_df: "int | None" = None) -> str:
+    """DuckDB twin of :func:`capped_gram_stats` over documents (same
+    words/grams CTEs as dd_shared_passages)."""
+    cond = f"__df > {max_df}" if max_df is not None else "FALSE"
+    return f"""
+        WITH words AS (
+            SELECT doc_id AS doc,
+                   regexp_extract_all(lower(text), '{NGRAM_WORD_RE}') AS ws
+            FROM documents
+        ),
+        grams0 AS (
+            SELECT doc,
+                   array_to_string(
+                     ws[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '
+                   ) AS gram
+            FROM words, LATERAL (
+                SELECT UNNEST(RANGE(1, len(ws) - {n - 2}))
+            ) t(i)
+            WHERE len(ws) >= {n}
+        ),
+        per_gram AS (
+            SELECT gram, COUNT(DISTINCT doc) AS __df
+            FROM grams0 GROUP BY gram
+        ),
+        dropped AS (SELECT * FROM per_gram WHERE {cond})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_capped_grams,
+               CAST(COALESCE(MAX(__df), 0) AS BIGINT) AS max_doc_freq
+        FROM dropped
+    """
+
+
 def dd_shared_passages(n: int = 8, min_len: int = 16, max_df: "int | None" = None) -> str:
     """DuckDB twin of :func:`shared_passages` over documents."""
     if min_len < n:
