@@ -1479,11 +1479,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION: the driver verifies only the FIRST 50 entries (dict order).
     # Policy: least-recently-driver-checked first.  Round 6 window =
-    #   positions 1-8:  the 8 queries that had NEVER had a driver row
-    #                   (added late in r5, parked past the window),
-    #   positions 9-27: the 19 queries last driver-green in r4,
-    #   positions 28-50: the longest-unrotated of the r5-green set.
-    # The 27 entries past position 50 were all driver-green in r5
+    #   positions 1-8:   the 8 queries that had NEVER had a driver row
+    #                    (added late in r5, parked past the window),
+    #   positions 9-27:  the 19 queries last driver-green in r4,
+    #   positions 28-31: the 4 queries NEW in r6 (never checked),
+    #   positions 32-50: the longest-unrotated of the r5-green set.
+    # The entries past position 50 were all driver-green in r5
     # (CORRECTNESS_r05.json) and stay parity-gated locally
     # (tests/test_oracle_parity.py).  Rotate each round.
     return {
@@ -1516,6 +1517,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_in_region": q_ann_in_region,
         "cap_per_domain": q_cap_per_domain,
         "tfidf_terms": q_tfidf_terms,
+        # -- new in r6 (never driver-checked) --
+        "distance_join_wrap": q_distance_join_wrap,
+        "asof_events_split": q_asof_events_split,
+        "polyfill_holes": q_polyfill_holes,
+        "capped_grams": q_capped_grams,
         # -- r5-green rotation (driver-green in CORRECTNESS_r05) --
         "cell_ops": q_cell_ops,
         "build_compact_set": q_build_compact_set,
@@ -1536,11 +1542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "rolling_stats": q_rolling_stats,
         "shared_passages": q_shared_passages,
+        # ---------------- driver window ends here (position 50) ----------
         "remove_passages": q_remove_passages,
         "semantic_dedup": q_semantic_dedup,
         "project_embeddings": q_project_embeddings,
         "importance_weights": q_importance_weights,
-        # ---------------- driver window ends here (position 50) ----------
         "char_entropy": q_char_entropy,
         "novelty": q_novelty,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -1568,12 +1574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_keepers": q_incremental_keepers,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
-        # -- new in r6 (never driver-checked yet): rotate into the
-        # -- window next round
-        "distance_join_wrap": q_distance_join_wrap,
-        "asof_events_split": q_asof_events_split,
-        "polyfill_holes": q_polyfill_holes,
-        "capped_grams": q_capped_grams,
     }
 
 
