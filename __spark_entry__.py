@@ -665,6 +665,31 @@ def q_capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.capped_gram_stats(docs, n=8, max_df=1)
 
 
+def q_nearest_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill assignment: contained pages keep their region (ring 0);
+    offshore pages take the nearest region cell's region under the
+    lattice Chebyshev metric (ops.nearest_region — ring-search tier +
+    brute broadcast-min tier, both min-(ring, cell) deterministic)."""
+    pages = synth_pages(
+        spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False
+    ).select("page_key", "cell")
+    regions = ops.region_map(spark)
+    return ops.nearest_region(pages, regions).select(
+        "page_key", "region", "ring", "via"
+    )
+
+
+def q_pyramid_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distinct rollup: distinct docs per tile at EVERY
+    zoom level 0..PYRAMID_RES from one pages-scale distinct
+    (ops.pyramid_unique_docs — distinct sets reduce up the pyramid;
+    counts can't)."""
+    pages = synth_pages(
+        spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False
+    ).select("cell", "doc_id")
+    return ops.pyramid_unique_docs(pages, PYRAMID_RES)
+
+
 def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synth_pages(spark, sf_dir, copies=COPIES, res=PAGE_RES, with_html=False)
     inside = pip_column(F.col("lat"), F.col("lon"), ops.REGIONS["alpha"])
@@ -1574,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_keepers": q_incremental_keepers,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        # -- new in r6 after the window was fixed: rotate in next round --
+        "pyramid_unique": q_pyramid_unique,
+        "nearest_region": q_nearest_region,
     }
 
 
@@ -1708,4 +1736,8 @@ def oracle_sql() -> dict[str, str]:
             + "))"
         ),
         "capped_grams": tx.dd_capped_gram_stats(n=8, max_df=1),
+        "pyramid_unique": oracles.q_pyramid_unique(COPIES, PAGE_RES, PYRAMID_RES),
+        "nearest_region": oracles.q_nearest_region(
+            ops.REGIONS, ops.REGION_RES, COPIES, PAGE_RES
+        ),
     }

@@ -418,6 +418,20 @@ def run(spark) -> tuple[dict, dict]:
 
     timed("q33_decontam_fuzzy", _fuzzy)
 
+    # q34/q35: hierarchical distinct rollup — distinct docs per tile at
+    # every zoom level.  Exact form pays ONE pages-scale distinct then
+    # reduces sets level-by-level; the HLL form is the 10^12-scale path
+    # (one pages-scale shuffle total, sketches merge up the pyramid).
+    pages_docs = pages.withColumn("doc_id", F.col("page_key") % F.lit(n_docs))
+    timed(
+        "q34_pyramid_distinct",
+        lambda: ops.pyramid_unique_docs(pages_docs, 4).count(),
+    )
+    timed(
+        "q35_pyramid_distinct_hll",
+        lambda: ops.pyramid_unique_docs_approx(pages_docs, 4).count(),
+    )
+
     # q15: the corpus-curation pipeline END TO END (features → simhash
     # pairs → clusters → keepers → stats) INCLUDING its checkpoint
     # Parquet writes — the dedup family's pinned wall number is the

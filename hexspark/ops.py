@@ -18,6 +18,7 @@ from .cachepool import CachePool
 from .geo import polyfill
 
 _PYRAMID_POOL = CachePool()
+_NEAREST_POOL = CachePool()
 _FOCAL_POOL = CachePool()
 
 # Three disjoint synthetic vector regions (lat, lon vertices).  Chosen
@@ -261,6 +262,256 @@ def tile_pyramid(
         levels.append(
             cur.select(F.lit(z).cast("long").alias("z"), "tile", "n_pages")
         )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def nearest_region(
+    pages: DataFrame,
+    regions: DataFrame,
+    nn_res: int = REGION_RES,
+    max_ring: int = 4,
+    cell_col: str = "cell",
+    form: str = "auto",
+) -> DataFrame:
+    """Gap-fill region assignment: contained pages keep their region
+    (``via='contains'``, ring 0); every OTHER page gets the region of
+    the nearest region cell at ``nn_res`` under the lattice Chebyshev
+    metric (``via='nearest'``, ring = that distance) — the
+    coastal/offshore case a pure containment join drops.
+
+    Shape (pages never shuffle except ONE map-side-combinable
+    distinct): a page is contained iff its res-``nn_res`` parent is in
+    the uncompacted region set, so the miss-probe set is computed
+    WITHOUT the assignment join — distinct parents of all pages
+    (bounded by the lattice, not by pages) anti-joined against the
+    broadcast region cells.  Probes then resolve in two tiers:
+
+    * ring tier — :func:`hexspark.geo.knn_rings` k=1 within
+      ``max_ring`` (budget-bounded broadcast disks, ring-doubling):
+      most real misses hug a region boundary and finalize here.
+    * brute tier — leftover probes × the BROADCAST region-cell
+      relation, reduced by a map-side-combinable
+      ``min(struct(ring, cell))``: O(far_probes × |region cells|)
+      codegen evaluations, O(far_probes) shuffle rows, no sort.  Exact
+      at any distance — a probe on the far side of the lattice never
+      needs a (2R+1)^2 disk explode.
+
+    Both tiers pick min (ring, cell) — identical tie-break, so tier
+    membership never changes the answer.  Ties across regions resolve
+    by cell id (deterministic; mirrors the DuckDB twin's
+    ``ORDER BY cheb, cell``).  Antimeridian: lattice-flat like
+    distance_join's default (compose with wrap manually if needed).
+
+    Assumes ``regions`` value column ``region`` and disjoint regions
+    (the repo-wide region-map contract)."""
+    from .geo import cell_to_ij, knn_rings
+
+    page_cols = pages.columns
+    stored = bx.uncompact_df(regions, nn_res)  # (cell, region), nn_res-flat
+
+    # miss probes WITHOUT touching the assignment twice: a page is
+    # contained iff its res-nn_res parent is in the uncompacted set
+    # (regions build at nn_res), so distinct parents minus region
+    # cells IS the miss-probe set — one map-side-combinable distinct
+    # over pages, then probe-scale algebra.  Pool-persisted: every
+    # consumer below branches off it.
+    _NEAREST_POOL.new_generation()
+    miss_probes = _NEAREST_POOL.add(
+        pages.select(cx.to_parent(cell_col, nn_res).alias("__probe"))
+        .distinct()
+        .join(
+            F.broadcast(stored.select(F.col("cell").alias("__probe"))),
+            on="__probe",
+            how="leftanti",
+        )
+        .persist()
+    )
+
+    near = knn_rings(
+        stored.select("cell"),
+        miss_probes,
+        k=1,
+        max_ring=max_ring,
+        res=nn_res,
+        probe_col="__probe",
+    ).select("__probe", "cell", F.col("ring").cast("long").alias("ring"))
+
+    far = miss_probes.join(near.select("__probe"), on="__probe", how="leftanti")
+    pi, pj = cell_to_ij(F.col("__probe"), nn_res)
+    si, sj = cell_to_ij(F.col("cell"), nn_res)
+    stored_ij = stored.select("cell", si.alias("__si"), sj.alias("__sj"))
+    cheb = F.greatest(
+        F.abs(F.col("__pi") - F.col("__si")),
+        F.abs(F.col("__pj") - F.col("__sj")),
+    ).cast("long")
+    brute = (
+        far.select("__probe", pi.alias("__pi"), pj.alias("__pj"))
+        .join(F.broadcast(stored_ij))
+        .groupBy("__probe")
+        .agg(
+            F.min(
+                F.struct(cheb.alias("ring"), F.col("cell").alias("cell"))
+            ).alias("__b")
+        )
+        .select(
+            "__probe",
+            F.col("__b.cell").alias("cell"),
+            F.col("__b.ring").alias("ring"),
+        )
+    )
+    nn = _NEAREST_POOL.add(
+        near.unionByName(brute)
+        .join(F.broadcast(stored), on="cell")
+        .select("__probe", "region", "ring")
+        .persist()
+    )
+
+    # ONE pass over pages: containment join + a probe-keyed left join
+    # against the tiny resolved relation (disjoint probe sets — a
+    # contained page's probe is a region cell, never a miss probe)
+    assigned = assign_regions(pages, regions, how="left", form=form)
+    out = assigned.withColumn(
+        "__probe", cx.to_parent(cell_col, nn_res)
+    ).join(F.broadcast(nn.withColumnRenamed("region", "__nn_region")),
+           on="__probe", how="left")
+    contained = F.col("region").isNotNull()
+    return out.select(
+        *page_cols,
+        F.coalesce(F.col("region"), F.col("__nn_region")).alias("region"),
+        F.when(contained, F.lit(0).cast("long"))
+        .otherwise(F.col("ring"))
+        .alias("ring"),
+        F.when(contained, F.lit("contains"))
+        .otherwise(F.lit("nearest"))
+        .alias("via"),
+    )
+
+
+def pyramid_unique_docs(
+    pages: DataFrame,
+    max_res: int,
+    id_col: str = "doc_id",
+    cell_col: str = "cell",
+    explode_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Hierarchical DISTINCT rollup — ``(z, tile, n_docs)`` for every
+    z in 0..``max_res``, where ``n_docs`` counts distinct ``id_col``
+    values under the tile.
+
+    Distinct counts are NOT summable up a pyramid (a doc whose pages
+    span two child tiles must count once in the parent), so
+    :func:`tile_pyramid`'s sum-rollup does not apply.  Distinct SETS
+    are unionable though: level z's (tile, id) set is level z+1's
+    reprojected + re-distinct'd — so pages are touched ONCE (the base
+    distinct, the unavoidable pages-scale shuffle) and every coarser
+    level reduces the previous level's relation (volume decays toward
+    n_ids as tiles collapse; pooled persists as in tile_pyramid).
+    The naive per-level ``groupBy(parent).count_distinct`` over pages
+    would re-shuffle the full input max_res+1 times.
+
+    Cardinality-probed like :func:`tile_pyramid`: small bases take ONE
+    exploded (z, ancestor, id) count_distinct — one shuffle, one plan;
+    large bases cascade per level so the exchange never carries
+    base × levels rows.
+
+    10^12-pages scale path: :func:`pyramid_unique_docs_approx`
+    (mergeable HLL sketches, one pages-scale shuffle total); this
+    exact form is the oracle-gated contract query.
+    """
+    _PYRAMID_POOL.new_generation()
+    base = _PYRAMID_POOL.add(
+        pages.select(
+            cx.to_parent(cell_col, max_res).alias("tile"),
+            F.col(id_col).alias("__id"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_base = base.count()
+
+    if n_base * (max_res + 1) <= explode_max_rows:
+        ancestors = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(max_res)),
+                lambda z: F.struct(
+                    z.cast("long").alias("z"),
+                    cx.to_parent("tile", z).alias("tile"),
+                ),
+            )
+        ).alias("a")
+        return (
+            base.select(ancestors, "__id")
+            .groupBy(F.col("a.z").alias("z"), F.col("a.tile").alias("tile"))
+            .agg(F.count_distinct("__id").alias("n_docs"))
+        )
+
+    def _level(df: DataFrame, z: int) -> DataFrame:
+        return (
+            df.groupBy("tile")
+            .agg(F.count("*").alias("n_docs"))  # rows are distinct (tile, id)
+            .select(F.lit(z).cast("long").alias("z"), "tile", "n_docs")
+        )
+
+    cur = base
+    levels = [_level(cur, max_res)]
+    for z in range(max_res - 1, -1, -1):
+        cur = _PYRAMID_POOL.add(
+            cur.select(cx.to_parent("tile", z).alias("tile"), "__id")
+            .distinct()
+            .persist()
+        )
+        levels.append(_level(cur, z))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def pyramid_unique_docs_approx(
+    pages: DataFrame,
+    max_res: int,
+    id_col: str = "doc_id",
+    cell_col: str = "cell",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sketch-based hierarchical distinct rollup — the scale path for
+    :func:`pyramid_unique_docs`.
+
+    One pages-scale shuffle TOTAL: the base level aggregates each tile
+    to a fixed-size Datasketches HLL sketch (``hll_sketch_agg``,
+    map-side combinable), and every coarser level MERGES child
+    sketches (``hll_union_agg``) — sketch unions are exact over the
+    sketch state, so accuracy does not degrade up the pyramid beyond
+    the base sketch's ~1.6%/sqrt(2^lg_k) bound.  Exact distinct sets
+    never cross the wire above the base; per-level state is
+    O(tiles × 2^lg_k bytes).  Tolerance-tested against the exact form
+    (not oracle-gated — estimates are engine-specific)."""
+    _PYRAMID_POOL.new_generation()
+    base = _PYRAMID_POOL.add(
+        pages.groupBy(cx.to_parent(cell_col, max_res).alias("tile"))
+        .agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("__sk"))
+        .persist()
+    )
+
+    def _level(df: DataFrame, z: int) -> DataFrame:
+        return df.select(
+            F.lit(z).cast("long").alias("z"),
+            "tile",
+            F.hll_sketch_estimate("__sk").alias("n_docs_approx"),
+        )
+
+    cur = base
+    levels = [_level(cur, max_res)]
+    for z in range(max_res - 1, -1, -1):
+        cur = _PYRAMID_POOL.add(
+            cur.groupBy(cx.to_parent("tile", z).alias("tile"))
+            .agg(F.hll_union_agg("__sk").alias("__sk"))
+            .persist()
+        )
+        levels.append(_level(cur, z))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -450,6 +450,69 @@ def q_point_in_polygon(regions: dict, copies: int, page_res: int = 12) -> str:
     """
 
 
+def q_nearest_region(
+    regions: dict, region_res: int, copies: int, page_res: int
+) -> str:
+    """DuckDB twin of ops.nearest_region: containment hits ring 0;
+    every miss cross-joins the (small) region-cell set and takes the
+    min (Chebyshev, cell) — the engine's two-tier (ring search + brute
+    broadcast min) must be row-identical to this single brute pass."""
+    from .geo import dd_cell_to_ij
+
+    rc = dd_region_cells_cte(regions, region_res)
+    parent = synth.dd_to_parent("cell", region_res)
+    pi, pj = dd_cell_to_ij("m.probe", region_res)
+    ri, rj = dd_cell_to_ij("r.cell", region_res)
+    cheb = f"GREATEST(ABS({pi} - {ri}), ABS({pj} - {rj}))"
+    return f"""
+        WITH pages AS ({dd_pages_cte(copies, page_res)}),
+        rcells AS ({rc}),
+        keyed AS (SELECT page_key, {parent} AS probe FROM pages),
+        hits AS (
+            SELECT k.page_key, r.region,
+                   CAST(0 AS BIGINT) AS ring, 'contains' AS via
+            FROM keyed k JOIN rcells r ON r.cell = k.probe
+        ),
+        miss AS (
+            SELECT * FROM keyed
+            WHERE probe NOT IN (SELECT cell FROM rcells)
+        ),
+        best AS (
+            SELECT probe, region, cheb AS ring FROM (
+                SELECT m.probe, r.region, {cheb} AS cheb,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY m.probe
+                         ORDER BY {cheb} ASC, r.cell ASC
+                       ) AS rn
+                FROM (SELECT DISTINCT probe FROM miss) m, rcells r
+            ) WHERE rn = 1
+        )
+        SELECT page_key, region, ring, via FROM hits
+        UNION ALL
+        SELECT m.page_key, b.region, CAST(b.ring AS BIGINT) AS ring,
+               'nearest' AS via
+        FROM miss m JOIN best b ON b.probe = m.probe
+    """
+
+
+def q_pyramid_unique(copies: int, page_res: int, max_res: int) -> str:
+    """DuckDB twin of ops.pyramid_unique_docs: per-level direct
+    COUNT(DISTINCT doc_id) — equal to the engine's set-reduction
+    cascade because level z's distinct (tile, doc) set is exactly the
+    reprojection of level z+1's (to_parent nesting invariant)."""
+    selects = [
+        f"""SELECT CAST({z} AS BIGINT) AS z,
+                   {synth.dd_to_parent('cell', z)} AS tile,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM pages GROUP BY 2"""
+        for z in range(max_res + 1)
+    ]
+    return (
+        f"WITH pages AS ({dd_pages_cte(copies, page_res)})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def q_tile_pyramid(copies: int, page_res: int, max_res: int) -> str:
     """DuckDB twin of ops.tile_pyramid: per-level direct aggregation —
     equal to the engine's child-rollup by the to_parent nesting

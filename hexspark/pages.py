@@ -119,7 +119,7 @@ def synth_pages(
             "html", make_html(F.col("text"), F.col("url"))
         ).withColumn("text", extract_text(F.col("html")))
     return pages.select(
-        "page_key", "url", "warc_ts",
+        "doc_id", "page_key", "url", "warc_ts",
         *(["html"] if with_html else []),
         "text", "lang", "lat", "lon", "cell",
     )
@@ -133,6 +133,7 @@ def dd_pages_cte(copies: int = PAGES_COPIES_DEFAULT, res: int = 12) -> str:
     cell = dd_grid_encode(lat, lon, res)
     return f"""
         SELECT
+            doc_id,
             {key} AS page_key,
             'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(copy AS VARCHAR) AS url,
             lang,

@@ -154,6 +154,140 @@ def test_select_keepers_quality_floor(spark):
     assert out0 == {(1, 1), (7, 7), (9, 9)}
 
 
+def test_nearest_region_planted_two_tiers(spark):
+    """Gap-fill assignment: contained pages ring 0; near misses resolve
+    in the ring tier, a far miss (beyond max_ring) in the brute
+    broadcast-min tier — all must equal a python brute force with the
+    same (ring, cell) tie-break."""
+    from hexspark import ops
+    from hexspark import cells as cx
+    from hexspark.geo import cell_to_ij, grid_encode
+
+    NN_RES = 2
+    # region anchors + probe points, all lat/lon-driven
+    anchors = [("a", 10.0, 10.0), ("b", 10.0, 14.0)]
+    regions = spark.createDataFrame(
+        anchors, "region string, lat double, lon double"
+    ).select(
+        grid_encode(F.col("lat"), F.col("lon"), NN_RES).alias("cell"),
+        "region",
+    )
+    pts = [
+        (1, 10.0, 10.0),   # inside region a's cell -> contains
+        (2, 10.0, 11.2),   # near miss -> ring tier
+        (3, -60.0, -150.0) # far miss -> brute tier (beyond max_ring)
+    ]
+    pages = spark.createDataFrame(
+        pts, "page_key long, lat double, lon double"
+    ).select(
+        "page_key", grid_encode(F.col("lat"), F.col("lon"), 12).alias("cell")
+    )
+    out = {
+        r["page_key"]: (r["region"], r["ring"], r["via"])
+        for r in ops.nearest_region(
+            pages, regions, nn_res=NN_RES, max_ring=2
+        ).collect()
+    }
+
+    # python brute force over lattice coords (same metric + tie-break)
+    ri, rj = cell_to_ij(F.col("cell"), NN_RES)
+    rcells = [
+        (r["cell"], r["region"], r["i"], r["j"])
+        for r in regions.select(
+            "cell", "region", ri.alias("i"), rj.alias("j")
+        ).collect()
+    ]
+    pi, pj = cell_to_ij(cx.to_parent("cell", NN_RES), NN_RES)
+    probes = {
+        r["page_key"]: (r["p"], r["i"], r["j"])
+        for r in pages.select(
+            "page_key",
+            cx.to_parent("cell", NN_RES).alias("p"),
+            pi.alias("i"),
+            pj.alias("j"),
+        ).collect()
+    }
+    rcell_set = {c for c, *_ in rcells}
+    for key, (p, i, j) in probes.items():
+        if p in rcell_set:
+            reg = next(g for c, g, *_ in rcells if c == p)
+            assert out[key] == (reg, 0, "contains"), key
+        else:
+            ring, _, reg = min(
+                (max(abs(i - ci), abs(j - cj)), c, g)
+                for c, g, ci, cj in rcells
+            )
+            assert out[key] == (reg, ring, "nearest"), key
+    # the far point genuinely exercised the brute tier
+    far_ring = out[3][1]
+    assert far_ring > 2, far_ring
+    """Distinct rollup: a doc whose pages span sibling tiles must
+    count ONCE in the shared parent (sum-rollup would double it), and
+    the exploded single-shuffle branch must equal the cascade."""
+    from hexspark import ops, synth
+    from hexspark import cells as cx
+
+    # two docs sharing THREE res-6 cells: 48 pages collapse to 6
+    # distinct (cell, doc) pairs at the base, and every level counts
+    # each doc once per tile (a sum-rollup would report 40/8)
+    pages = spark.range(48).select(
+        synth.cell_from_key(F.col("id") % 3, 6).alias("cell"),
+        (F.col("id") < 40).cast("long").alias("doc_id"),
+    )
+    rows = ops.pyramid_unique_docs(
+        pages, 3, explode_max_rows=10**9
+    ).collect()
+    casc = ops.pyramid_unique_docs(pages, 3, explode_max_rows=0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, casc))
+
+    # per-level distinct twin via the (independently golden-tested)
+    # to_parent expr — here we only check the rollup, not the bit math
+    for z in range(4):
+        lv = (
+            pages.select(
+                cx.to_parent("cell", z).alias("tile"), "doc_id"
+            )
+            .distinct()
+            .groupBy("tile")
+            .count()
+            .collect()
+        )
+        want = {(r["tile"], r["count"]) for r in lv}
+        got = {(r["tile"], r["n_docs"]) for r in rows if r["z"] == z}
+        assert got == want, z
+    # every level must show deduplication: 48 pages, 2 docs, 3 cells —
+    # no level's total may exceed 6, and a tile holding both docs
+    # reports 2, never its page count
+    for z in range(4):
+        lv = [r for r in rows if r["z"] == z]
+        assert sum(r["n_docs"] for r in lv) <= 6
+        assert max(r["n_docs"] for r in lv) <= 2
+
+
+def test_pyramid_unique_docs_approx_tracks_exact(spark):
+    """HLL-merge pyramid (one pages-scale shuffle, sketches union up
+    the levels) stays within tolerance of the exact set-reduction on
+    every (z, tile)."""
+    from hexspark import ops, synth
+
+    pages = spark.range(30000).select(
+        synth.cell_from_key(F.col("id"), 6).alias("cell"),
+        (F.col("id") % 1117).alias("doc_id"),
+    )
+    exact = {
+        (r["z"], r["tile"]): r["n_docs"]
+        for r in ops.pyramid_unique_docs(pages, 2).collect()
+    }
+    approx = {
+        (r["z"], r["tile"]): r["n_docs_approx"]
+        for r in ops.pyramid_unique_docs_approx(pages, 2, lg_k=14).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 3
+    for k, d in exact.items():
+        ad = approx[k]
+        assert abs(ad - d) <= max(3, 0.1 * d), (k, d, ad)
+
+
 def test_tile_pyramid_branches_agree(spark, sf_dir):
     """tile_pyramid is cardinality-probed: the single-shuffle explode
     rollup (small pyramids) and the cascaded child rollup (tile
