@@ -419,17 +419,19 @@ def run(spark) -> tuple[dict, dict]:
     timed("q33_decontam_fuzzy", _fuzzy)
 
     # q34/q35: hierarchical distinct rollup — distinct docs per tile at
-    # every zoom level.  Exact form pays ONE pages-scale distinct then
-    # reduces sets level-by-level; the HLL form is the 10^12-scale path
-    # (one pages-scale shuffle total, sketches merge up the pyramid).
+    # every zoom level 0..2.  Exact form pays ONE pages-scale distinct
+    # (20M (tile, doc) pairs — irreducible: the answer depends on the
+    # exact pair set) then reduces sets level-by-level; the HLL form is
+    # the 10^12-scale path (map-side-combinable sketch agg, sketches
+    # merge up the pyramid — measured ~3.8x the exact form here).
     pages_docs = pages.withColumn("doc_id", F.col("page_key") % F.lit(n_docs))
     timed(
         "q34_pyramid_distinct",
-        lambda: ops.pyramid_unique_docs(pages_docs, 4).count(),
+        lambda: ops.pyramid_unique_docs(pages_docs, 2).count(),
     )
     timed(
         "q35_pyramid_distinct_hll",
-        lambda: ops.pyramid_unique_docs_approx(pages_docs, 4).count(),
+        lambda: ops.pyramid_unique_docs_approx(pages_docs, 2, lg_k=10).count(),
     )
 
     # q15: the corpus-curation pipeline END TO END (features → simhash
