@@ -488,27 +488,70 @@ def pyramid_unique_docs_approx(
     the base sketch's ~1.6%/sqrt(2^lg_k) bound.  Exact distinct sets
     never cross the wire above the base; per-level state is
     O(tiles × 2^lg_k bytes).  Tolerance-tested against the exact form
-    (not oracle-gated — estimates are engine-specific)."""
-    _PYRAMID_POOL.new_generation()
-    base = _PYRAMID_POOL.add(
-        pages.groupBy(cx.to_parent(cell_col, max_res).alias("tile"))
-        .agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("__sk"))
-        .persist()
+    (not oracle-gated — estimates are engine-specific).
+
+    Composes from :func:`tile_sketch_table` +
+    :func:`pyramid_from_sketch_table`; for a growing corpus persist
+    per-batch sketch tables and fold with :func:`merge_sketch_tables`
+    instead of re-scanning old pages."""
+    return pyramid_from_sketch_table(
+        tile_sketch_table(pages, max_res, id_col, cell_col, lg_k), max_res
     )
+
+
+def tile_sketch_table(
+    pages: DataFrame,
+    tile_res: int,
+    id_col: str = "doc_id",
+    cell_col: str = "cell",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-tile distinct-id HLL sketch table ``(tile, sketch BINARY)``
+    — the INCREMENTAL building block for distinct rollups at ingest
+    scale: sketch a batch once (one map-side-combinable shuffle),
+    persist the binary column to Parquet, and fold later batches in
+    with :func:`merge_sketch_tables` — distinct counts over the union
+    of N ingests WITHOUT ever re-scanning old pages (sketch union is
+    exact over the sketch state, so merge-then-estimate equals
+    sketch-of-union up to the base sketch's error bound)."""
+    return pages.groupBy(
+        cx.to_parent(cell_col, tile_res).alias("tile")
+    ).agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sketch"))
+
+
+def merge_sketch_tables(*tables: DataFrame) -> DataFrame:
+    """Fold per-tile sketch tables (e.g. one per ingest batch) into
+    one: union + ``hll_union_agg`` per tile.  Volume is O(tiles), never
+    pages — the incremental path for :func:`pyramid_unique_docs_approx`
+    over a growing corpus."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("tile").agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+
+
+def pyramid_from_sketch_table(base: DataFrame, max_res: int) -> DataFrame:
+    """(z, tile, n_docs_approx) for every z in 0..``max_res`` from a
+    res-``max_res`` sketch table — the pyramid rollup of
+    :func:`pyramid_unique_docs_approx`, but starting from persisted /
+    merged sketches instead of pages."""
+    _PYRAMID_POOL.new_generation()
+    cur = _PYRAMID_POOL.add(base.persist())
 
     def _level(df: DataFrame, z: int) -> DataFrame:
         return df.select(
             F.lit(z).cast("long").alias("z"),
             "tile",
-            F.hll_sketch_estimate("__sk").alias("n_docs_approx"),
+            F.hll_sketch_estimate("sketch").alias("n_docs_approx"),
         )
 
-    cur = base
     levels = [_level(cur, max_res)]
     for z in range(max_res - 1, -1, -1):
         cur = _PYRAMID_POOL.add(
             cur.groupBy(cx.to_parent("tile", z).alias("tile"))
-            .agg(F.hll_union_agg("__sk").alias("__sk"))
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
             .persist()
         )
         levels.append(_level(cur, z))

@@ -221,6 +221,9 @@ def test_nearest_region_planted_two_tiers(spark):
     # the far point genuinely exercised the brute tier
     far_ring = out[3][1]
     assert far_ring > 2, far_ring
+
+
+def test_pyramid_unique_docs_planted_and_branches(spark):
     """Distinct rollup: a doc whose pages span sibling tiles must
     count ONCE in the shared parent (sum-rollup would double it), and
     the exploded single-shuffle branch must equal the cascade."""
@@ -286,6 +289,33 @@ def test_pyramid_unique_docs_approx_tracks_exact(spark):
     for k, d in exact.items():
         ad = approx[k]
         assert abs(ad - d) <= max(3, 0.1 * d), (k, d, ad)
+
+
+def test_sketch_table_incremental_merge(spark):
+    """Incremental distinct rollup: per-batch sketch tables folded with
+    merge_sketch_tables must estimate like sketching the union in one
+    pass — old pages never re-scanned."""
+    from hexspark import ops, synth
+
+    all_pages = spark.range(24000).select(
+        synth.cell_from_key(F.col("id"), 6).alias("cell"),
+        (F.col("id") % 913).alias("doc_id"),
+        (F.col("id") % 2).alias("batch"),
+    )
+    one_pass = {
+        (r["z"], r["tile"]): r["n_docs_approx"]
+        for r in ops.pyramid_unique_docs_approx(all_pages, 2).collect()
+    }
+    b0 = ops.tile_sketch_table(all_pages.filter("batch = 0"), 2)
+    b1 = ops.tile_sketch_table(all_pages.filter("batch = 1"), 2)
+    merged = ops.merge_sketch_tables(b0, b1)
+    incr = {
+        (r["z"], r["tile"]): r["n_docs_approx"]
+        for r in ops.pyramid_from_sketch_table(merged, 2).collect()
+    }
+    assert set(incr) == set(one_pass) and len(incr) > 3
+    for k, v in one_pass.items():
+        assert abs(incr[k] - v) <= max(2, 0.02 * v), (k, v, incr[k])
 
 
 def test_tile_pyramid_branches_agree(spark, sf_dir):
