@@ -57,6 +57,82 @@ def stream_region_assign(
     )
 
 
+def read_sketch_table(spark, table_dir: str) -> "DataFrame | None":
+    """Latest persisted sketch-table generation written by
+    :func:`stream_tile_distinct` (None before the first fold).  Feed it
+    to ``ops.pyramid_from_sketch_table`` for distinct rollups at any
+    zoom level without re-reading the stream."""
+    import os
+
+    ptr = os.path.join(table_dir, "LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        gen = fh.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, gen))
+
+
+def stream_tile_distinct(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    tile_res: int = 4,
+    id_col: str = "page_key",
+    res: int = 12,
+    lg_k: int = 12,
+):
+    """foreachBatch incremental distinct-ids-per-tile: each micro-batch
+    folds its per-tile HLL sketch table (``ops.tile_sketch_table``)
+    into a persisted Parquet sketch table via
+    ``ops.merge_sketch_tables`` — state is O(tiles × 2^lg_k bytes) no
+    matter how long the stream runs, and the persisted table answers
+    distinct rollups at ANY zoom (``ops.pyramid_from_sketch_table``)
+    without re-reading the stream.
+
+    Generations: each fold writes ``{table_dir}/g{batch_id}`` then
+    atomically advances a ``LATEST`` pointer (tmp + ``os.replace``;
+    driver-local like the batch Checkpointer's manifest — swap for a
+    manifest table on object storage).  Replay-safe WITHOUT
+    transactions: HLL union is idempotent over set membership, so a
+    micro-batch folded twice (crash between the pointer advance and
+    the streaming checkpoint commit) lands the same ids in the same
+    registers and changes nothing."""
+    import os
+    import shutil
+
+    from . import ops
+
+    encoded = encode_stream(stream, res)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        folded = ops.tile_sketch_table(
+            batch_df, tile_res, id_col=id_col, lg_k=lg_k
+        )
+        prev = read_sketch_table(spark, table_dir)
+        prev_gen = None
+        if prev is not None:
+            with open(os.path.join(table_dir, "LATEST")) as fh:
+                prev_gen = fh.read().strip()
+            folded = ops.merge_sketch_tables(prev, folded)
+        gen = f"g{batch_id}"
+        folded.write.mode("overwrite").parquet(os.path.join(table_dir, gen))
+        tmp = os.path.join(table_dir, "LATEST.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(gen)
+        os.replace(tmp, os.path.join(table_dir, "LATEST"))
+        if prev_gen and prev_gen != gen:
+            shutil.rmtree(os.path.join(table_dir, prev_gen), ignore_errors=True)
+
+    os.makedirs(table_dir, exist_ok=True)
+    return (
+        encoded.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_tile_totals(
     stream: DataFrame,
     tile_res: int = 4,

@@ -396,6 +396,61 @@ def test_streaming_stateful_tile_totals(spark, tmp_path):
         assert last_by_tile[t] == (mn, mx), t
 
 
+def test_stream_tile_distinct_folds_batches(spark, tmp_path):
+    """foreachBatch sketch fold: per-micro-batch HLL tables merged into
+    one persisted table must estimate like sketching the whole input in
+    one batch pass, with ids REPEATED across micro-batches counted once
+    (union idempotence — the property that makes replays safe)."""
+    from hexspark import ops
+    from hexspark import streaming as st
+
+    src_dir = str(tmp_path / "dsrc")
+    # ids repeat across the two files (id % 300): a correct distinct
+    # fold must NOT double-count them
+    pages = spark.range(900).select(
+        F.col("id"), (F.col("id") % 300).alias("page_key")
+    ).cache()
+    pages.filter(F.col("id") < 450).select("page_key").coalesce(1).write.mode("append").parquet(src_dir)
+    pages.filter(F.col("id") >= 450).select("page_key").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("page_key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    table_dir = str(tmp_path / "sketches")
+    q = st.stream_tile_distinct(
+        stream, table_dir, str(tmp_path / "dckpt"), tile_res=2
+    )
+    q.awaitTermination(300)
+
+    got = st.read_sketch_table(spark, table_dir)
+    assert got is not None
+    stream_est = {
+        (r["z"], r["tile"]): r["n_docs_approx"]
+        for r in ops.pyramid_from_sketch_table(got, 2).collect()
+    }
+    one_pass = {
+        (r["z"], r["tile"]): r["n_docs_approx"]
+        for r in ops.pyramid_unique_docs_approx(
+            st.encode_stream(spark.read.parquet(src_dir), 12),
+            2,
+            id_col="page_key",
+        ).collect()
+    }
+    assert set(stream_est) == set(one_pass) and len(stream_est) > 3
+    for k, v in one_pass.items():
+        assert abs(stream_est[k] - v) <= max(2, 0.02 * v), (k, v)
+    # distinct, not count: the global total is ~300 (unique page_keys),
+    # not ~900 (rows)
+    top = sum(v for (z, _), v in stream_est.items() if z == 0)
+    assert top < 450, top
+    # only the latest generation is kept on disk
+    import os
+
+    gens = [d for d in os.listdir(table_dir) if d.startswith("g")]
+    assert len(gens) == 1, gens
+
+
 def test_streaming_region_assign(spark, tmp_path):
     """availableNow micro-batch run of the streaming pipeline over a
     file source; results must equal the batch pipeline on the same rows."""
