@@ -1512,6 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The entries past position 50 were all driver-green in r5
     # (CORRECTNESS_r05.json) and stay parity-gated locally
     # (tests/test_oracle_parity.py).  Rotate each round.
+    # r7 rotation candidates (never driver-checked or pushed out in
+    # r6): pyramid_unique, nearest_region, remove_passages,
+    # semantic_dedup, project_embeddings, importance_weights.
     return {
         # -- never driver-checked before r6 (r5 additions, positions 69-77) --
         "cap_per_tile": q_cap_per_tile,
