@@ -605,10 +605,7 @@ def q_distance_join_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_key", "lat", "lon")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     alat, _ = synth.latlon_from_key(F.col("n_nationkey") * 7919 + 13)
-    alon = (
-        (F.lit(1) - F.lit(2) * (F.col("n_nationkey") % 2))
-        * (F.lit(179.9) - (F.col("n_nationkey") % 7) * F.lit(0.15))
-    )
+    alon = synth.anchor_wrap_lon(F.col("n_nationkey"))
     anchors = nation.select(
         F.col("n_nationkey").alias("anchor_id"),
         alat.alias("alat"), alon.alias("alon"),

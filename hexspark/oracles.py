@@ -769,11 +769,7 @@ def q_distance_join_wrap(radius: float, copies: int, page_res: int = 12) -> str:
     geo.sq_dist_wrapped's association order (lat term first; least of
     |Δlon| and 360−|Δlon|)."""
     alat, _ = synth.dd_latlon_from_key("(n_nationkey * 7919 + 13)")
-    # CAST the literals: DuckDB parses 179.9/0.15 as DECIMAL and would
-    # do exact decimal arithmetic, diverging from Spark's float64 by ULPs
-    alon = ("((1 - 2 * (n_nationkey % 2)) * "
-            "(CAST(179.9 AS DOUBLE) - "
-            "(n_nationkey % 7) * CAST(0.15 AS DOUBLE)))")
+    alon = synth.dd_anchor_wrap_lon("n_nationkey")
     r2 = repr(float(radius) * float(radius))
     dx = "LEAST(ABS(a.alon - p.lon), 360.0 - ABS(a.alon - p.lon))"
     d = f"(a.alat - p.lat) * (a.alat - p.lat) + {dx} * {dx}"

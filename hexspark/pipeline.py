@@ -348,7 +348,12 @@ def run_corpus_pipeline(
     if remove_shared_passages:
         import logging
 
-        from .text import capped_gram_stats, remove_passages, shared_passages
+        from .text import (
+            capped_gram_stats,
+            gram_doc_freq,
+            remove_passages,
+            shared_passages,
+        )
 
         p_pass = {
             **(p_samp if sample_bps > 0 else p_keep),
@@ -360,21 +365,30 @@ def run_corpus_pipeline(
         keeper_docs = docs.join(
             survivors.select("doc_id"), "doc_id", "semi"
         )
+        # the docs-scale gram explode + COUNT(DISTINCT doc) agg runs
+        # ONCE: both the cap inside shared_passages and the audit row
+        # consume this checkpointed relation
+        gfreq = ck.stage(
+            "gram_freq",
+            lambda: gram_doc_freq(keeper_docs, n=passage_n),
+            inputs=stats_inputs,
+            params=p_pass,
+        )
         spans = ck.stage(
             "passages",
             lambda: shared_passages(
                 keeper_docs, n=passage_n, min_len=passage_min_len,
-                max_df=passage_max_df,
+                max_df=passage_max_df, gram_freq=gfreq,
             ),
-            inputs=stats_inputs,
+            inputs=stats_inputs + ["gram_freq"],
             params=p_pass,
         )
         pstats = ck.stage(
             "passage_stats",
             lambda: capped_gram_stats(
-                keeper_docs, n=passage_n, max_df=passage_max_df
+                n=passage_n, max_df=passage_max_df, gram_freq=gfreq
             ),
-            inputs=stats_inputs,
+            inputs=["gram_freq"],
             params=p_pass,
         )
         # no silent cap: say what the max_df cap dropped
@@ -389,6 +403,7 @@ def run_corpus_pipeline(
             inputs=["passages"],
             params=p_pass,
         )
+        out["gram_freq"] = gfreq
         out["passages"] = spans
         out["passage_stats"] = pstats
         out["cleaned_docs"] = cleaned

@@ -106,6 +106,7 @@ def stream_tile_distinct(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        gen = f"g{batch_id}"
         folded = ops.tile_sketch_table(
             batch_df, tile_res, id_col=id_col, lg_k=lg_k
         )
@@ -114,8 +115,13 @@ def stream_tile_distinct(
         if prev is not None:
             with open(os.path.join(table_dir, "LATEST")) as fh:
                 prev_gen = fh.read().strip()
+            if prev_gen == gen:
+                # replay of a batch whose fold COMPLETED (the pointer
+                # advance is the fold's last step): the persisted table
+                # already contains this batch — folding again would
+                # read and overwrite the same generation dir.  Skip.
+                return
             folded = ops.merge_sketch_tables(prev, folded)
-        gen = f"g{batch_id}"
         folded.write.mode("overwrite").parquet(os.path.join(table_dir, gen))
         tmp = os.path.join(table_dir, "LATEST.tmp")
         with open(tmp, "w") as fh:

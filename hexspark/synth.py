@@ -85,6 +85,26 @@ def dd_latlon_from_key(key: str) -> tuple[str, str]:
     return lat, lon
 
 
+def anchor_wrap_lon(key: Column) -> Column:
+    """Seam-straddling anchor longitude for the antimeridian fixtures:
+    ±(179.9 − (key % 7)·0.15), alternating sides of ±180° by key
+    parity.  Twin: :func:`dd_anchor_wrap_lon` — keep the two in sync
+    (CLAUDE.md: oracle twins generated from the SAME formulas)."""
+    return (F.lit(1) - F.lit(2) * (key % 2)) * (
+        F.lit(179.9) - (key % 7) * F.lit(0.15)
+    )
+
+
+def dd_anchor_wrap_lon(key: str) -> str:
+    """DuckDB twin of :func:`anchor_wrap_lon`.  CAST the literals:
+    DuckDB parses 179.9/0.15 as DECIMAL and would do exact decimal
+    arithmetic, diverging from Spark's float64 by ULPs."""
+    return (
+        f"((1 - 2 * (({key}) % 2)) * "
+        f"(CAST(179.9 AS DOUBLE) - (({key}) % 7) * CAST(0.15 AS DOUBLE)))"
+    )
+
+
 def dd_res(x: str) -> str:
     return f"((({x}) >> {K.RES_OFFSET}) & 15)"
 

@@ -98,6 +98,14 @@ def asof_join(
             "__m", F.last("__b", ignorenulls=True).over(w)
         ).filter(F.col("__side") == 1)
     else:
+        if int(split_seconds) <= 0:
+            # 0 would divide-by-zero deep in the plan; a negative chunk
+            # width INVERTS the carry-forward ordering (future matches
+            # for past probes) — fail loudly like shared_passages'
+            # min_len guard
+            raise ValueError(
+                f"asof_join: split_seconds must be positive, got {split_seconds}"
+            )
         chunk_us = int(split_seconds) * 1_000_000
         u = u.withColumn(
             "__chunk",

@@ -976,6 +976,26 @@ def dd_linear_classifier_score(bias: int = 0, n_buckets: int = CLF_BUCKETS) -> s
 # cross-document shared-passage mining (exact repeated-substring dedup)
 # ---------------------------------------------------------------------------
 
+def gram_doc_freq(
+    docs: "DataFrame",
+    n: int = 8,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> "DataFrame":
+    """``(gram, df)`` with df = COUNT(DISTINCT doc) for every word
+    ``n``-gram — the frequency relation behind
+    :func:`shared_passages`' ``max_df`` cap AND
+    :func:`capped_gram_stats`' audit row.  Compute (or checkpoint) it
+    ONCE and pass it to both via their ``gram_freq=`` params — the
+    corpus pipeline does this so the docs-scale explode + distinct agg
+    never runs twice for one passage pass."""
+    g = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+    return g.groupBy("gram").agg(F.count_distinct("doc").alias("df"))
+
+
 def shared_passages(
     docs: "DataFrame",
     n: int = 8,
@@ -983,6 +1003,7 @@ def shared_passages(
     text_col: str = "text",
     doc_col: str = "doc_id",
     max_df: "int | None" = None,
+    gram_freq: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Maximal cross-document shared word passages of >= ``min_len``
     tokens — the distributed form of exact-substring dedup (the
@@ -1024,12 +1045,12 @@ def shared_passages(
         F.posexplode(grams).alias("pos0", "gram"),
     ).select("doc", (F.col("pos0") + 1).alias("pos"), "gram")
     if max_df is not None:
-        keep = (
-            g.groupBy("gram")
-            .agg(F.count_distinct("doc").alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("gram")
+        freq = (
+            gram_freq
+            if gram_freq is not None
+            else gram_doc_freq(docs, n, text_col, doc_col)
         )
+        keep = freq.filter(F.col("df") <= max_df).select("gram")
         g = g.join(keep, on="gram", how="leftsemi")
     a = g.select(
         F.col("gram"), F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a")
@@ -1059,11 +1080,12 @@ def shared_passages(
 
 
 def capped_gram_stats(
-    docs: "DataFrame",
+    docs: "DataFrame | None" = None,
     n: int = 8,
     max_df: "int | None" = None,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    gram_freq: "DataFrame | None" = None,
 ) -> "DataFrame":
     """One-row audit of what a :func:`shared_passages` ``max_df`` cap
     drops: the count of distinct ``n``-grams whose document frequency
@@ -1074,19 +1096,19 @@ def capped_gram_stats(
     pass is never a silent truncation.  Returns
     ``(n_capped_grams, max_doc_freq)``; zero/zero when ``max_df`` is
     None (nothing dropped — exact mode)."""
-    g = docs.select(
-        F.col(doc_col).alias("doc"),
-        F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
+    per_gram = (
+        gram_freq
+        if gram_freq is not None
+        else gram_doc_freq(docs, n, text_col, doc_col)
     )
-    per_gram = g.groupBy("gram").agg(F.count_distinct("doc").alias("__df"))
     dropped = (
-        per_gram.filter(F.col("__df") > max_df)
+        per_gram.filter(F.col("df") > max_df)
         if max_df is not None
         else per_gram.filter(F.lit(False))
     )
     return dropped.agg(
         F.count(F.lit(1)).alias("n_capped_grams"),
-        F.coalesce(F.max("__df"), F.lit(0)).cast("long").alias("max_doc_freq"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("max_doc_freq"),
     )
 
 

@@ -89,6 +89,12 @@ def test_asof_join_split_matches_unsplit(events):
     assert _asof_map(
         split_t.select("event_id", "ts_m", "event_id_m", "value_m")
     ) == _asof_map(base_t.select("event_id", "ts_m", "event_id_m", "value_m"))
+    # non-positive chunk widths fail loudly: 0 would divide-by-zero at
+    # execution, a negative width would INVERT the carry-forward
+    import pytest
+    for bad in (0, -3600):
+        with pytest.raises(ValueError, match="split_seconds"):
+            asof_join(p2, b2, split_seconds=bad, **kw)
 
 
 def test_asof_join_tolerance(events):
