@@ -139,8 +139,11 @@ def jaccard_pairs(
     rides mostly on ultra-common shingles can be missed (recall on
     planted near-dups is measured by tests).  ``None`` (default) =
     byte-identical exact output."""
+    from .skew import widen_input
+
     ex = (
-        docs.select(F.col(key_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
+        widen_input(docs.select(F.col(key_col), F.col(text_col)))
+        .select(F.col(key_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
         .distinct()
     )
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
@@ -219,7 +222,9 @@ def minhash_signature(
     """MinHash signature: for hash fn i, min over shingles of
     md5(i || shingle)'s 60-bit prefix.  One explode + one groupBy;
     signatures come back as ``num_hashes`` columns ``h0..h{K-1}``."""
-    ex = docs.select(
+    from .skew import widen_input
+
+    ex = widen_input(docs.select(F.col(key_col), F.col(text_col))).select(
         F.col(key_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
     )
@@ -359,7 +364,9 @@ def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bi
     share, so the signature stays cross-engine hash-exact)."""
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash bits must be in 1..64, got {bits}")
-    toks = docs.select(
+    from .skew import widen_input
+
+    toks = widen_input(docs.select(F.col(key_col), F.col(text_col))).select(
         F.col(key_col).alias("id"),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+", " "), " ")

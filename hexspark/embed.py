@@ -92,9 +92,10 @@ def ann_topk_brute(
     query's full candidate set.  With Q queries the cross join is a
     broadcast nested loop whose cost is Q × N vectorized multiplies —
     the honest baseline to beat."""
+    from .skew import widen_input
     from .topk import topk_per_key
 
-    crossed = corpus.crossJoin(F.broadcast(queries))
+    crossed = widen_input(corpus).crossJoin(F.broadcast(queries))
     sim = F.round(
         cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
     )
@@ -352,6 +353,9 @@ def embedding_dups(
     (recall < 1 by design, measured by tests).  ``exact=True`` runs the
     all-pairs form — the DuckDB-oracle twin (:func:`dd_embedding_dups`)
     and the honest baseline the LSH recall is measured against."""
+    from .skew import widen_input
+
+    corpus = widen_input(corpus)
     if exact:
         a = corpus.select(
             F.col(key_col).alias("ida"),
@@ -618,9 +622,12 @@ def ann_topk_lsh(
     tests measure it against the brute baseline — raise ``n_tables``
     (more recall, more candidates) or ``n_planes`` (fewer candidates,
     less recall) to tune."""
+    from .skew import widen_input
     from .topk import topk_per_key
 
-    c = hyperplane_signatures(corpus, dim, n_planes, n_tables, vec_col=vec_col)
+    c = hyperplane_signatures(
+        widen_input(corpus), dim, n_planes, n_tables, vec_col=vec_col
+    )
     q = hyperplane_signatures(queries, dim, n_planes, n_tables, vec_col=query_vec)
     cand = (
         c.join(F.broadcast(q.select("bucket", query_key, query_vec)), on="bucket", how="inner")
@@ -666,6 +673,9 @@ def semantic_dedup(
     (:func:`ivf_index`); ``'first_k'`` is the deterministic,
     DuckDB-twinnable path (:func:`first_k_centroids`).
     """
+    from .skew import widen_input
+
+    corpus = widen_input(corpus)
     if quantizer == "kmeans":
         assigned, _ = ivf_index(corpus, n_centroids, vec_col)
     elif quantizer == "first_k":

@@ -15,7 +15,7 @@ from . import build as bx
 from . import cells as cx
 from . import join as jx
 from .cachepool import CachePool
-from .geo import polyfill
+from .geo import GRID_DIM, polyfill
 
 _PYRAMID_POOL = CachePool()
 _NEAREST_POOL = CachePool()
@@ -253,7 +253,33 @@ def tile_pyramid(
     levels = [
         cur.select(F.lit(max_res).cast("long").alias("z"), "tile", "n_pages")
     ]
-    for z in range(max_res - 1, -1, -1):
+    z = max_res - 1
+    while z >= 0:
+        # hybrid tail: tile cardinality at level z+1 is bounded by the
+        # LATTICE (121 * 7^(z+1) cells exist at all), so once
+        # min(n_base, lattice) * remaining_levels fits the explode
+        # budget, ONE transform(sequence) explode + groupBy rolls every
+        # remaining level in a single small shuffle instead of one
+        # exchange (plus per-level plan/job overhead) per level — the
+        # shuffle volume is the same geometric tail the cascade pays,
+        # without the per-level barriers.
+        rem = min(n_base, (GRID_DIM * GRID_DIM) * 7 ** (z + 1)) * (z + 1)
+        if rem <= explode_max_rows:
+            ancestors = F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(z)),
+                    lambda zz: F.struct(
+                        zz.cast("long").alias("z"),
+                        cx.to_parent("tile", zz).alias("tile"),
+                    ),
+                )
+            ).alias("a")
+            levels.append(
+                cur.select(ancestors, "n_pages")
+                .groupBy(F.col("a.z").alias("z"), F.col("a.tile").alias("tile"))
+                .agg(F.sum("n_pages").alias("n_pages"))
+            )
+            break
         cur = _PYRAMID_POOL.add(
             cur.groupBy(cx.to_parent("tile", z).alias("tile"))
             .agg(F.sum("n_pages").alias("n_pages"))
@@ -262,6 +288,7 @@ def tile_pyramid(
         levels.append(
             cur.select(F.lit(z).cast("long").alias("z"), "tile", "n_pages")
         )
+        z -= 1
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

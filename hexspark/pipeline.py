@@ -178,8 +178,9 @@ def _doc_features(docs: DataFrame) -> DataFrame:
     runs — BOTH must derive features with the same formulas or the
     keeper quality floor would mean different things per generation)."""
     from . import text as tx
+    from .skew import widen_input
 
-    return docs.select(
+    return widen_input(docs).select(
         "doc_id",
         tx.token_count(F.col("text")).alias("toks"),
         tx.lang_id(F.col("text")).alias("lang_guess"),

@@ -421,7 +421,9 @@ def group_quantile_filter(
     group-keyed join back (group cardinality ≪ rows — AQE broadcasts);
     the data relation never shuffles.
     """
-    scored = df.withColumn("__score", score)
+    from .skew import widen_input
+
+    scored = widen_input(df).withColumn("__score", score)
     p = p_bps / 10000.0
     if mode == "exact":
         agg = F.expr(f"percentile(__score, {p!r})")

@@ -25,6 +25,37 @@ from pyspark.sql import functions as F
 from . import cells as cx
 
 
+def widen_input(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Scale-adaptive floor on input parallelism (the guide's 'input
+    skew' case: one small / unsplittable file).
+
+    A source whose scan yields fewer partitions than the session's
+    default parallelism (a single-row-group parquet file, one gzip
+    member, a driver-built local relation) serializes EVERY scan-side
+    expression — tokenizer regexes, hash chains, cosine re-ranks — onto
+    those few cores until the first exchange, no matter how wide the
+    cluster is.  Round-robin repartition to ``defaultParallelism *
+    multiple`` immediately after the read fixes the task grain for a
+    tiny shuffle of the projected input (apply AFTER column pruning).
+
+    Strictly a no-op whenever the input is already at least that wide —
+    i.e. for any real cluster-scale table — so it never adds a shuffle
+    at 100-TB scale; raising ``multiple`` smooths per-row cost variance
+    across tasks at ~2-3 ms of task overhead apiece (measured: the
+    repartition costs ~0.2 s at 32 output partitions, ~0.4 s at 128 —
+    only worth paying when the serialized scan-side work is seconds).
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(sc.defaultParallelism) * multiple
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # e.g. streaming relations: leave untouched
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

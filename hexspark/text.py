@@ -430,7 +430,9 @@ def repetition_stats(
     rollup is keyed by the same leading column so AQE coalesces
     cheaply; no window, no per-doc sort.  Integer arithmetic only →
     exact oracle parity."""
-    g = docs.select(
+    from .skew import widen_input
+
+    g = widen_input(docs.select(F.col(doc_col), F.col(text_col))).select(
         F.col(doc_col), F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
     )
     per = g.groupBy(doc_col, "gram").agg(F.count("*").alias("c"))
@@ -864,8 +866,11 @@ def hashed_features(
         F.regexp_extract_all(F.lower(text), F.lit(NGRAM_WORD_RE), 0),
         ngrams_col(text, 2),
     )
+    from .skew import widen_input
+
     return (
-        docs.select(F.col(doc_col), F.explode(grams).alias("gram"))
+        widen_input(docs.select(F.col(doc_col), F.col(text_col)))
+        .select(F.col(doc_col), F.explode(grams).alias("gram"))
         .select(doc_col, (_h64(F.col("gram")) % n_buckets).alias("fid"))
         .groupBy(doc_col, "fid")
         .agg(F.count("*").alias("tf"))
@@ -976,6 +981,9 @@ def dd_linear_classifier_score(bias: int = 0, n_buckets: int = CLF_BUCKETS) -> s
 # cross-document shared-passage mining (exact repeated-substring dedup)
 # ---------------------------------------------------------------------------
 
+_PASSAGE_POOL = None  # created lazily (mirrors _TFIDF_POOL)
+
+
 def gram_doc_freq(
     docs: "DataFrame",
     n: int = 8,
@@ -989,7 +997,9 @@ def gram_doc_freq(
     ONCE and pass it to both via their ``gram_freq=`` params — the
     corpus pipeline does this so the docs-scale explode + distinct agg
     never runs twice for one passage pass."""
-    g = docs.select(
+    from .skew import widen_input
+
+    g = widen_input(docs.select(F.col(doc_col), F.col(text_col))).select(
         F.col(doc_col).alias("doc"),
         F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
     )
@@ -1031,6 +1041,12 @@ def shared_passages(
     """
     from pyspark.sql import Window
 
+    from .cachepool import CachePool
+
+    global _PASSAGE_POOL
+    if _PASSAGE_POOL is None:
+        _PASSAGE_POOL = CachePool()
+
     if min_len < n:
         # a passage shorter than n tokens produces no n-gram match at
         # all, so min_len < n would silently under-report instead of
@@ -1039,8 +1055,10 @@ def shared_passages(
             f"min_len ({min_len}) must be >= n ({n}): passages shorter "
             "than the gram width are undetectable by n-gram matching"
         )
+    from .skew import widen_input
+
     grams = ngrams_col(F.col(text_col), n)
-    g = docs.select(
+    g = widen_input(docs.select(F.col(doc_col), F.col(text_col))).select(
         F.col(doc_col).alias("doc"),
         F.posexplode(grams).alias("pos0", "gram"),
     ).select("doc", (F.col("pos0") + 1).alias("pos"), "gram")
@@ -1052,6 +1070,13 @@ def shared_passages(
         )
         keep = freq.filter(F.col("df") <= max_df).select("gram")
         g = g.join(keep, on="gram", how="leftsemi")
+    # the gram relation feeds BOTH sides of the inverted-index self-join
+    # and Catalyst has no common-subplan elimination — without a persist
+    # barrier the docs-scale tokenize + posexplode executes twice (plan
+    # audit: two Scan->Generate subtrees, measured ~2s of the query at
+    # sf0.1).  Pooled so repeated calls retire old generations' blocks.
+    _PASSAGE_POOL.new_generation()
+    g = _PASSAGE_POOL.add(g.persist())
     a = g.select(
         F.col("gram"), F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a")
     )
@@ -1573,6 +1598,9 @@ def dd_char_entropy() -> str:
     """
 
 
+_DECON_POOL = None  # created lazily (mirrors _TFIDF_POOL)
+
+
 def contaminated_docs_fuzzy(
     train: "DataFrame",
     eval_docs: "DataFrame",
@@ -1601,10 +1629,32 @@ def contaminated_docs_fuzzy(
     """
     from .dedup import shingles
 
+    from .cachepool import CachePool
+
+    global _DECON_POOL
+    if _DECON_POOL is None:
+        _DECON_POOL = CachePool()
+    _DECON_POOL.new_generation()
+
     tr_sh = F.array_distinct(shingles(F.col(text_col), n))
     ev_sh = F.array_distinct(shingles(F.col(text_col), n))
-    tr_ex = train.select(
-        F.col(doc_col), F.explode(tr_sh).alias("sh")
+    # The CORPUS-side shingle explode is tokenized ONCE (pooled persist)
+    # and sz_train is derived from it as the per-doc exploded row count
+    # (== size(array_distinct(shingles)) by construction): the previous
+    # separate tr_sz relation re-ran the whole shingle pipeline over the
+    # corpus just to attach one integer (plan audit: 2 corpus-scale
+    # Scan->shingle subtrees down to 1).  NOTE: do NOT fold size(arr)
+    # into the same projection as the explode — the doubled expression
+    # tree knocks the stage out of whole-stage codegen and interpreted
+    # eval re-runs the regex-split per transform() element (measured:
+    # minutes, quadratic per doc).  The eval side is benchmark-bounded;
+    # its two tiny scans are not worth a persist.
+    from .skew import widen_input
+
+    tr_ex = _DECON_POOL.add(
+        widen_input(train.select(F.col(doc_col), F.col(text_col)))
+        .select(F.col(doc_col), F.explode(tr_sh).alias("sh"))
+        .persist()
     )
     ev_ex = F.broadcast(
         eval_docs.select(
@@ -1616,7 +1666,7 @@ def contaminated_docs_fuzzy(
         .groupBy(doc_col, eval_key)
         .agg(F.count("*").alias("inter"))
     )
-    tr_sz = train.select(F.col(doc_col), F.size(tr_sh).alias("sz_train"))
+    tr_sz = tr_ex.groupBy(doc_col).agg(F.count("*").alias("sz_train"))
     ev_sz = F.broadcast(
         eval_docs.select(
             F.col(doc_col).alias(eval_key), F.size(ev_sh).alias("sz_eval")
