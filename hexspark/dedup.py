@@ -520,6 +520,7 @@ def dup_clusters(
     idb: str = "idb",
     max_iter: int = 25,
     checkpoint: str = "auto",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster) with
     ``cluster`` = the smallest doc id in the component (the canonical
@@ -561,7 +562,17 @@ def dup_clusters(
       ``sparkContext.getCheckpointDir()`` is set, else ``'local'``.
 
     ``all_ids``: optional (id) DataFrame of the full corpus — isolated
-    docs come back as their own singleton cluster."""
+    docs come back as their own singleton cluster.
+
+    ``driver_max_edges``: edge relations at or below this row count are
+    solved by driver-side union-find instead of the iterative join
+    rounds.  The pair relation is component-scale (near-dup pairs, not
+    the corpus) and frequently tiny; each distributed round costs
+    multiple jobs (two joins, a groupBy, an eager checkpoint, a
+    convergence count) of pure fixed overhead at that size.  The cutoff
+    is broadcast-scale (2M edges = ~32 MB of longs on the driver);
+    larger relations take the distributed path unchanged.  Both paths
+    produce identical (id, min-reachable-id) labels."""
     sc = pairs.sparkSession.sparkContext
     if checkpoint == "auto":
         checkpoint = "reliable" if sc.getCheckpointDir() else "local"
@@ -591,6 +602,59 @@ def dup_clusters(
         .distinct()
         .persist()
     )
+    # size probe and fetch in ONE job: an over-limit collect comes back
+    # with driver_max_edges + 1 rows and falls through to the
+    # distributed rounds (the persisted edge relation is then reused)
+    rows = (
+        edges.limit(driver_max_edges + 1).collect()
+        if driver_max_edges > 0
+        else None
+    )
+    if rows is not None and len(rows) <= driver_max_edges:
+        from pyspark.sql.types import StructField, StructType
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots: dict = {}
+        for x in parent:
+            r = find(x)
+            m = roots.get(r)
+            if m is None or x < m:
+                roots[r] = x
+        id_type = pairs.schema[ida].dataType
+        schema = StructType([
+            StructField("id", id_type, False),
+            StructField("cluster", id_type, False),
+        ])
+        out = pairs.sparkSession.createDataFrame(
+            [(x, roots[find(x)]) for x in parent], schema
+        )
+        if all_ids is not None:
+            singles = (
+                all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+                .join(out, on="id", how="left_anti")
+                .withColumn("cluster", F.col("id"))
+            )
+            out = out.unionByName(singles)
+        return out
+
     labels = _ckpt(
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))

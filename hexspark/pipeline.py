@@ -286,22 +286,83 @@ def run_corpus_pipeline(
 
     feats = ck.stage("doc_features", lambda: _doc_features(docs))
 
-    if pair_miner == "simhash":
-        sig_fn = lambda: ddp.simhash(docs, bits=bits)  # noqa: E731
-        pair_fn = lambda: ddp.simhash_pairs_from_sigs(  # noqa: E731
-            sigs, max_hamming=max_hamming, bits=bits
+    # Exact duplicates collapse to ONE representative BEFORE signature
+    # mining.  Identical documents share identical signatures, so every
+    # pair-miner bucket holding m exact copies would emit C(m, 2) pairs
+    # — a crawl corpus is ~30-50% exact dups and one boilerplate page
+    # with 10^6 copies alone would emit 5*10^11 rows into dup_pairs.
+    # Instead: group on the fingerprint doc_features already computes,
+    # sign/mine only the min-id representative of each group, and carry
+    # one (rep, member) edge per extra copy — the duplicates stay
+    # connected THROUGH their representative, so dup_clusters (and
+    # therefore keepers) are provably identical while dup_pairs stays
+    # O(copies), not O(copies^2).  The edge relation is output-scale
+    # (one row per collapsed copy) and rides the pair schema with
+    # hamming 0 (identical text => identical signature).
+    rep_edges = (
+        feats.select("doc_id", "fp")
+        .join(
+            feats.groupBy("fp").agg(F.min("doc_id").alias("ida")),
+            on="fp",
+        )
+        .filter(F.col("doc_id") != F.col("ida"))
+        .select(
+            "ida",
+            F.col("doc_id").alias("idb"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # NOT its own checkpoint stage: it is a two-aggregate derivation of
+    # the doc_features checkpoint (deterministic, output-scale), and a
+    # stage's fixed write/read/manifest cost would exceed recomputing
+    # it on resume.  One tiny probe job (a single aggregate over the
+    # checkpointed features — cheaper than materializing the edge join)
+    # decides the fast path: with no exact dups the anti-join and the
+    # pair union are dead weight, and skipping them reproduces the
+    # un-collapsed plan exactly.
+    _probe = feats.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("fp").alias("__nfp"),
+    ).first()
+    has_exact_dups = _probe["__n"] != _probe["__nfp"]
+    if has_exact_dups:
+        rep_docs = docs.join(
+            F.broadcast(rep_edges.select(F.col("idb").alias("doc_id"))),
+            on="doc_id",
+            how="left_anti",
         )
     else:
-        sig_fn = lambda: ddp.minhash_signature(  # noqa: E731
-            docs, num_hashes=MINHASH_BANDS * MINHASH_ROWS, n=MINHASH_SHINGLE_N
+        rep_docs = docs
+
+    if pair_miner == "simhash":
+        sig_fn = lambda: ddp.simhash(rep_docs, bits=bits)  # noqa: E731
+        pair_fn = lambda: (  # noqa: E731
+            ddp.simhash_pairs_from_sigs(sigs, max_hamming=max_hamming, bits=bits)
+            .unionByName(rep_edges)
+            if has_exact_dups
+            else ddp.simhash_pairs_from_sigs(sigs, max_hamming=max_hamming, bits=bits)
         )
-        pair_fn = lambda: ddp.lsh_candidates(  # noqa: E731
+    else:
+        pair_src = lambda: ddp.lsh_candidates(  # noqa: E731
             sigs, bands=MINHASH_BANDS, rows_per_band=MINHASH_ROWS
         )
+        sig_fn = lambda: ddp.minhash_signature(  # noqa: E731
+            rep_docs, num_hashes=MINHASH_BANDS * MINHASH_ROWS, n=MINHASH_SHINGLE_N
+        )
+        pair_fn = lambda: (  # noqa: E731
+            pair_src().unionByName(rep_edges.select("ida", "idb"))
+            if has_exact_dups
+            else pair_src()
+        )
 
-    sigs = ck.stage("signatures", sig_fn, params=p_sig)
+    sigs = ck.stage(
+        "signatures", sig_fn, inputs=["doc_features"], params=p_sig
+    )
     pairs = ck.stage(
-        "dup_pairs", pair_fn, inputs=["signatures"], params=p_pairs
+        "dup_pairs",
+        pair_fn,
+        inputs=["signatures", "doc_features"],
+        params=p_pairs,
     )
 
     clusters = ck.stage(
@@ -409,10 +470,11 @@ def run_corpus_pipeline(
         out["passage_stats"] = pstats
         out["cleaned_docs"] = cleaned
 
-    active = {"doc_features", "signatures", "dup_pairs", "dup_clusters",
-              "keepers", "corpus_stats"} | set(out)
+    active = {"doc_features", "signatures", "dup_pairs",
+              "dup_clusters", "keepers", "corpus_stats"} | set(out)
     out.update({
         "doc_features": feats,
+        "exact_rep_edges": rep_edges,
         "signatures": sigs,
         "dup_pairs": pairs,
         "dup_clusters": clusters,

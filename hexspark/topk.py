@@ -85,6 +85,7 @@ def topk_per_key_by_draw(
     safety: int = 4,
     counts_broadcast_rows: int = 4_000_000,
     rank_col: str = "rank",
+    n_keys_bound: "int | None" = None,
 ) -> DataFrame:
     """:func:`topk_per_key` for callers whose leading order column is a
     uniform deterministic ``draw`` in ``[0, draw_scale)`` (the
@@ -148,11 +149,18 @@ def topk_per_key_by_draw(
     counts = _DRAW_POOL.add(
         probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).persist()
     )
-    n_keys = counts.count()
-    if n_keys > counts_broadcast_rows:
-        return topk_per_key(
-            probe, keys, [F.col("__draw"), *order_tail], payload, k, rank_col
-        )
+    # ``n_keys_bound``: a caller-supplied STATIC upper bound on the key
+    # cardinality (cap_per_tile passes the lattice cell count at its
+    # tile res).  When the bound already fits the broadcast budget the
+    # gating count() job — a full materialization pass before any real
+    # work — is skipped and counts first materialize inside the
+    # survivor job itself.
+    if n_keys_bound is None or n_keys_bound > counts_broadcast_rows:
+        n_keys = counts.count()
+        if n_keys > counts_broadcast_rows:
+            return topk_per_key(
+                probe, keys, [F.col("__draw"), *order_tail], payload, k, rank_col
+            )
     budget = int(draw_scale) * int(k) * int(safety)
     # exact int64 ceil-divide (div, not /: double rounding is not exact)
     thr = F.least(

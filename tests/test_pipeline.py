@@ -64,6 +64,54 @@ def test_corpus_pipeline_runs_and_resumes(spark, sf_dir, tmp_path):
     }
 
 
+def test_corpus_pipeline_exact_dup_precollapse(spark, sf_dir, tmp_path):
+    """m identical copies of one page must cost the pipeline O(m) pair
+    rows (one (rep, member) edge per extra copy), NOT the C(m, 2) rows
+    a signature bucket would emit if exact dups reached the near-dup
+    miner — and the cluster/keeper outputs must be exactly what mining
+    the un-collapsed corpus produces."""
+    from pyspark.sql import functions as F
+
+    from hexspark import dedup as ddp
+    from hexspark.pipeline import run_corpus_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    m = 1000
+    copies = (
+        spark.range(1, m)
+        .crossJoin(docs.filter(F.col("doc_id") == 0).select("text", "lang", "source", "n_chars"))
+        .select(
+            (F.col("id") + 100_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    corpus = docs.unionByName(copies)
+
+    out = run_corpus_pipeline(
+        spark, sf_dir, str(tmp_path / "precollapse"), docs=corpus
+    )
+    n_pairs = out["dup_pairs"].count()
+    # O(copies): the 999 rep->member edges plus whatever genuine
+    # near-dup pairs exist among the 40 distinct docs — nowhere near
+    # the ~499,500 pairs of the C(m, 2) blowup
+    assert m - 1 <= n_pairs < 3 * m, n_pairs
+    # every copy clusters with doc 0, and exactly one keeper survives
+    clusters = {r["id"]: r["cluster"] for r in out["dup_clusters"].collect()}
+    assert all(clusters[100_000 + i] == 0 for i in range(1, m))
+    keeper_ids = {r["doc_id"] for r in out["keepers"].collect()}
+    assert 0 in keeper_ids
+    assert not any(100_000 + i in keeper_ids for i in range(1, m))
+    # ground truth: clusters equal the UN-collapsed miner's clusters
+    want = {
+        (r["id"], r["cluster"])
+        for r in ddp.dup_clusters(
+            ddp.simhash_pairs(corpus, max_hamming=3, bits=64),
+            all_ids=corpus.select("doc_id"),
+        ).collect()
+    }
+    assert {(k, v) for k, v in clusters.items()} == want
+
+
 def test_corpus_pipeline_passage_removal(spark, sf_dir, tmp_path):
     """remove_shared_passages=True adds checkpointed passages /
     passage_stats / cleaned_docs stages: planted shared passages are

@@ -377,18 +377,47 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
         with pytest.raises(ValueError, match="setCheckpointDir"):
             dup_clusters(chain, checkpoint="reliable")
         sc.setCheckpointDir(str(tmp_path / "ck"))
+    # driver_max_edges=0 pins the DISTRIBUTED rounds (this test is
+    # about the reliable-checkpoint machinery; the driver-side
+    # union-find fallback would otherwise absorb a 60-edge chain)
     got = {r["id"]: r["cluster"]
-           for r in dup_clusters(chain, checkpoint="reliable").collect()}
+           for r in dup_clusters(chain, checkpoint="reliable",
+                                 driver_max_edges=0).collect()}
     assert got == want
     # blocks actually landed in the reliable dir
     ckdir = sc.getCheckpointDir().replace("file:", "")
     assert any(files for _, _, files in os.walk(ckdir))
     # auto now resolves to reliable (dir is set) and agrees
     got_auto = {r["id"]: r["cluster"]
-                for r in dup_clusters(chain, checkpoint="auto").collect()}
+                for r in dup_clusters(chain, checkpoint="auto",
+                                      driver_max_edges=0).collect()}
     assert got_auto == want
+
+
+def test_dup_clusters_driver_path_matches_distributed(spark):
+    """The driver-side union-find fallback (small edge relations) must
+    label exactly like the distributed rounds — branch picked solely by
+    driver_max_edges, so the same input runs both ways."""
+    from hexspark.dedup import dup_clusters
+
+    # two components + a lone pair, unsorted insert order
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (17, 11), (30, 31), (2, 7)],
+        "ida: long, idb: long",
+    )
+    ids = spark.createDataFrame([(i,) for i in range(33)], "id: long")
+    via_driver = {
+        (r["id"], r["cluster"])
+        for r in dup_clusters(pairs, all_ids=ids).collect()
+    }
+    via_rounds = {
+        (r["id"], r["cluster"])
+        for r in dup_clusters(pairs, all_ids=ids, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_rounds
+    assert (5, 2) in via_driver and (11, 11) in via_driver
     with pytest.raises(ValueError, match="unknown checkpoint mode"):
-        dup_clusters(chain, checkpoint="bogus")
+        dup_clusters(pairs, checkpoint="bogus")
 
 
 def test_footer_row_count(spark, sf_dir):
