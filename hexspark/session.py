@@ -7,7 +7,7 @@ import os
 from pyspark.sql import SparkSession
 
 
-_BASE_DRIVER_JAVA_OPTS = "-XX:ReservedCodeCacheSize=512m"
+_BASE_DRIVER_JAVA_OPTS = "-XX:ReservedCodeCacheSize=768m"
 
 
 def get_spark(
@@ -48,7 +48,9 @@ def get_spark(
         # whole-stage codegen emits one compiled class per plan; a long
         # query suite fills the JVM's default ~240m code cache and HotSpot
         # silently falls back to interpreted paths (measured: late-suite
-        # q14_tile_pyramid 7.8s -> 6.0s with 512m).  Must be set BEFORE
+        # q14_tile_pyramid 7.8s -> 6.0s with 512m; raised to 768m in r7
+        # when the widened-input plans added a stage per operator and
+        # late-suite queries re-inflated ~25-40% vs isolated).  Must be set BEFORE
         # the driver JVM launches.  Caller/env options are APPENDED, not
         # substituted — bench_scaling's '-XX:+UseParallelGC' must not
         # silently drop this fix; a caller overriding the same flag wins
