@@ -336,6 +336,17 @@ def nearest_region(
     (the repo-wide region-map contract)."""
     from .geo import cell_to_ij, knn_rings
 
+    # uncompact_df silently DROPS region cells finer than nn_res — a
+    # caller passing nn_res coarser than the map's build resolution
+    # would lose those areas from both tiers and misassign their pages
+    # with no signal.  Same guard class as knn_rings' mixed-res check.
+    rs = jx.region_res_set(regions)
+    if rs and max(rs) > nn_res:
+        raise ValueError(
+            f"nearest_region: region map stores cells at res {max(rs)}"
+            f" finer than nn_res={nn_res} — uncompacting would silently"
+            " drop them; pass nn_res >= the map's build resolution"
+        )
     page_cols = pages.columns
     stored = bx.uncompact_df(regions, nn_res)  # (cell, region), nn_res-flat
 
@@ -634,13 +645,19 @@ def smooth_tiles(
     xl, yl = _axis_levels(res)
     ni, nj = GRID_DIM * 7**xl, GRID_DIM * 7**yl
     pi, pj = cell_to_ij(F.col(cell_col), res)
-    offs = F.sequence(F.lit(-k), F.lit(k))
+    # ONE stack generator over the (2k+1)^2 literal offset pairs
+    # instead of two chained explode(sequence) generators: no per-row
+    # array allocation, one Generate node (measured 2.4s -> 1.2s for
+    # the whole smooth at 290k tiles / k=2; same rows out)
+    offs = [(di, dj) for di in range(-k, k + 1) for dj in range(-k, k + 1)]
+    stack_expr = "stack({n}, {vals}) as (__di, __dj)".format(
+        n=len(offs), vals=", ".join(f"{a}L, {b}L" for a, b in offs)
+    )
     scat = (
         tiles.select(
             F.col(value_col), pi.alias("__pi"), pj.alias("__pj")
         )
-        .withColumn("__di", F.explode(offs))
-        .withColumn("__dj", F.explode(offs))
+        .select("*", F.expr(stack_expr))
         .select(
             (F.col("__pi") + F.col("__di")).alias("__i"),
             (F.col("__pj") + F.col("__dj")).alias("__j"),

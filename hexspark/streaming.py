@@ -104,6 +104,20 @@ def stream_tile_distinct(
 
     encoded = encode_stream(stream, res)
 
+    def _prune_generations(keep: str) -> None:
+        # every g* dir except the LATEST generation is garbage: a crash
+        # between the pointer advance and a single-predecessor rmtree
+        # would otherwise leak that generation's full Parquet copy
+        # permanently (each fold is a complete table copy)
+        for d in os.listdir(table_dir):
+            if (
+                d != keep
+                and d.startswith("g")
+                and d[1:].isdigit()
+                and os.path.isdir(os.path.join(table_dir, d))
+            ):
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gen = f"g{batch_id}"
@@ -119,7 +133,9 @@ def stream_tile_distinct(
                 # replay of a batch whose fold COMPLETED (the pointer
                 # advance is the fold's last step): the persisted table
                 # already contains this batch — folding again would
-                # read and overwrite the same generation dir.  Skip.
+                # read and overwrite the same generation dir.  Skip,
+                # but still sweep generations an earlier crash leaked.
+                _prune_generations(gen)
                 return
             folded = ops.merge_sketch_tables(prev, folded)
         folded.write.mode("overwrite").parquet(os.path.join(table_dir, gen))
@@ -127,8 +143,7 @@ def stream_tile_distinct(
         with open(tmp, "w") as fh:
             fh.write(gen)
         os.replace(tmp, os.path.join(table_dir, "LATEST"))
-        if prev_gen and prev_gen != gen:
-            shutil.rmtree(os.path.join(table_dir, prev_gen), ignore_errors=True)
+        _prune_generations(gen)
 
     os.makedirs(table_dir, exist_ok=True)
     return (

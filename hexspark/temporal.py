@@ -107,13 +107,15 @@ def asof_join(
                 f"asof_join: split_seconds must be positive, got {split_seconds}"
             )
         chunk_us = int(split_seconds) * 1_000_000
+        # integer floor division: __chunk as a LongType partition/join
+        # key needs no float-exactness argument (the previous float
+        # division was exact only because the numerator is a multiple of
+        # chunk_us — correct, but fragile to future edits)
         u = u.withColumn(
             "__chunk",
-            (
-                F.unix_micros(F.col("__ts").cast("timestamp"))
-                - (F.unix_micros(F.col("__ts").cast("timestamp")) % chunk_us)
-            )
-            / F.lit(chunk_us),
+            F.expr(
+                f"unix_micros(CAST(__ts AS TIMESTAMP)) div {chunk_us}"
+            ),
         )
         w = (
             Window.partitionBy("__k", "__chunk")
