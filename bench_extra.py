@@ -241,6 +241,7 @@ def main():
     ap.add_argument("--only", default="", help="comma list of query names (prefix ok)")
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--explain", default="", help="dump formatted plan to this path (single query)")
+    ap.add_argument("--explain-dir", default="", help="dump every selected query's plan to <dir>/<name>.txt and skip timing")
     ap.add_argument("--noop", action="store_true", help="use noop sink instead of count/collect")
     args = ap.parse_args()
 
@@ -252,6 +253,23 @@ def main():
     names = [n for n in qs if not want or any(n.startswith(w) for w in want)]
 
     from hexspark import cachepool
+
+    if args.explain_dir:
+        os.makedirs(args.explain_dir, exist_ok=True)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        for name in names:
+            fn, action = qs[name]
+            if action == "run":
+                continue
+            df = fn()
+            txt = df._jdf.queryExecution().explainString(mode)
+            path = os.path.join(args.explain_dir, f"{name}.txt")
+            with open(path, "w") as fh:
+                fh.write(txt)
+            print(f"wrote {path}", file=sys.stderr)
+        spark.stop()
+        return
 
     results = {}
     for name in names:

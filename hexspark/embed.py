@@ -95,9 +95,22 @@ def ann_topk_brute(
     from .skew import widen_input
     from .topk import topk_per_key
 
-    crossed = widen_input(corpus).crossJoin(F.broadcast(queries))
+    # per-side norms computed once per row/query, not once per
+    # (query, corpus) pair — same fold order, bit-identical rounding
+    cw = widen_input(corpus).withColumn(
+        "__cn", norm(F.col(vec_col).cast("array<double>"))
+    )
+    qw = queries.withColumn(
+        "__qn", norm(F.col(query_vec).cast("array<double>"))
+    )
+    crossed = cw.crossJoin(F.broadcast(qw))
     sim = F.round(
-        cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
+        dot(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec).cast("array<double>"),
+        )
+        / (F.col("__cn") * F.col("__qn")),
+        6,
     )
     return topk_per_key(
         crossed.withColumn("sim", sim),
@@ -319,12 +332,22 @@ def ann_topk_ivf(
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
     q = queries.withColumn(
+        "__qn", norm(F.col(query_vec).cast("array<double>"))
+    ).withColumn(
         "centroid_id",
         F.explode(_nearest_centroids(query_vec, centroids, nprobe)),
     )
+    assigned = assigned.withColumn(
+        "__cn", norm(F.col(vec_col).cast("array<double>"))
+    )
     cand = assigned.join(F.broadcast(q), on="centroid_id", how="inner").drop("centroid_id")
     sim = F.round(
-        cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
+        dot(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec).cast("array<double>"),
+        )
+        / (F.col("__cn") * F.col("__qn")),
+        6,
     )
     return topk_per_key(
         cand.withColumn("sim", sim),
@@ -360,11 +383,11 @@ def embedding_dups(
         a = corpus.select(
             F.col(key_col).alias("ida"),
             F.col(vec_col).cast("array<double>").alias("__va"),
-        )
+        ).withColumn("__na", norm(F.col("__va")))
         b = corpus.select(
             F.col(key_col).alias("idb"),
             F.col(vec_col).cast("array<double>").alias("__vb"),
-        )
+        ).withColumn("__nb", norm(F.col("__vb")))
         cand = a.join(b, F.col("ida") < F.col("idb"))
     else:
         from pyspark import StorageLevel
@@ -379,17 +402,22 @@ def embedding_dups(
         sa = sigs.select(
             "bucket", F.col(key_col).alias("ida"),
             F.col(vec_col).cast("array<double>").alias("__va"),
-        )
+        ).withColumn("__na", norm(F.col("__va")))
         sb = sigs.select(
             "bucket", F.col(key_col).alias("idb"),
             F.col(vec_col).cast("array<double>").alias("__vb"),
-        )
+        ).withColumn("__nb", norm(F.col("__vb")))
         cand = (
             sa.join(sb, on="bucket").filter(F.col("ida") < F.col("idb"))
             .drop("bucket")
             .dropDuplicates(["ida", "idb"])
         )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    # per-side norms hoisted out of the pair predicate (see
+    # semantic_dedup): sqrt-then-multiply order preserved, so the
+    # rounded similarity is bit-identical to the inline cosine
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         cand.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
@@ -625,17 +653,36 @@ def ann_topk_lsh(
     from .skew import widen_input
     from .topk import topk_per_key
 
+    # norms ride the signature rows (computed once per input row BEFORE
+    # the bucket explode), not once per candidate pair — same fold
+    # order, bit-identical rounded similarity
     c = hyperplane_signatures(
-        widen_input(corpus), dim, n_planes, n_tables, vec_col=vec_col
+        widen_input(corpus).withColumn(
+            "__cn", norm(F.col(vec_col).cast("array<double>"))
+        ),
+        dim, n_planes, n_tables, vec_col=vec_col,
     )
-    q = hyperplane_signatures(queries, dim, n_planes, n_tables, vec_col=query_vec)
+    q = hyperplane_signatures(
+        queries.withColumn(
+            "__qn", norm(F.col(query_vec).cast("array<double>"))
+        ),
+        dim, n_planes, n_tables, vec_col=query_vec,
+    )
     cand = (
-        c.join(F.broadcast(q.select("bucket", query_key, query_vec)), on="bucket", how="inner")
+        c.join(
+            F.broadcast(q.select("bucket", query_key, query_vec, "__qn")),
+            on="bucket", how="inner",
+        )
         .drop("bucket")
         .dropDuplicates([query_key, key_col])
     )
     sim = F.round(
-        cosine(F.col(vec_col).cast("array<double>"), F.col(query_vec).cast("array<double>")), 6
+        dot(
+            F.col(vec_col).cast("array<double>"),
+            F.col(query_vec).cast("array<double>"),
+        )
+        / (F.col("__cn") * F.col("__qn")),
+        6,
     )
     return topk_per_key(
         cand.withColumn("sim", sim),
@@ -686,28 +733,42 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
+    # per-row norm hoisted OUT of the pair join: cosine(a, b) evaluates
+    # three array folds per PAIR (dot + both norms) while the norms are
+    # per-ROW values — within a cluster of c rows that is 2*C(c,2) norm
+    # folds replaced by c.  sqrt-then-multiply order is preserved, so
+    # the rounded similarity is bit-identical to the inline form.
     assigned = assigned.select(
         F.col(key_col),
         F.col("centroid_id").cast("bigint").alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("__vec"),
-    )
+    ).withColumn("__nrm", norm(F.col("__vec")))
     a = assigned.select(
-        "centroid_id", F.col(key_col).alias("__ida"), F.col("__vec").alias("__va")
+        "centroid_id", F.col(key_col).alias("__ida"),
+        F.col("__vec").alias("__va"), F.col("__nrm").alias("__na"),
     )
     b = assigned.select(
-        "centroid_id", F.col(key_col).alias("__idb"), F.col("__vec").alias("__vb")
+        "centroid_id", F.col(key_col).alias("__idb"),
+        F.col("__vec").alias("__vb"), F.col("__nrm").alias("__nb"),
     )
     pairs = (
         a.join(b, on="centroid_id")
         .filter(F.col("__ida") < F.col("__idb"))
-        .withColumn("__sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "__sim",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .filter(F.col("__sim") >= threshold)
     )
     dups = pairs.groupBy(F.col("__idb").alias(key_col)).agg(
         F.min("__ida").alias("witness")
     )
     return (
-        assigned.drop("__vec")
+        assigned.drop("__vec", "__nrm")
         .join(dups, on=key_col, how="left")
         .withColumn("kept", F.col("witness").isNull())
     )
