@@ -495,8 +495,6 @@ def cap_per_tile(
     from . import cells as cx
     from .topk import topk_per_key_by_draw
 
-    from .geo import GRID_DIM
-
     df = pages.withColumn("tile", cx.to_parent(cell_col, tile_res))
     return topk_per_key_by_draw(
         df,
@@ -505,9 +503,6 @@ def cap_per_tile(
         order_tail=[F.col(key_col)],
         payload=[key_col],
         k=k,
-        # static lattice bound on distinct tiles: skips the gating
-        # count() pass whenever the whole level fits the broadcast
-        n_keys_bound=(GRID_DIM * GRID_DIM) * 7 ** tile_res,
     )
 
 

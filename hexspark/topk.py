@@ -150,11 +150,15 @@ def topk_per_key_by_draw(
         probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).persist()
     )
     # ``n_keys_bound``: a caller-supplied STATIC upper bound on the key
-    # cardinality (cap_per_tile passes the lattice cell count at its
-    # tile res).  When the bound already fits the broadcast budget the
-    # gating count() job — a full materialization pass before any real
-    # work — is skipped and counts first materialize inside the
-    # survivor job itself.
+    # cardinality (e.g. a lattice cell count).  When the bound already
+    # fits the broadcast budget the gating count() job is skipped and
+    # counts first materialize inside the survivor job itself.
+    # MEASURED TRAP (r7): skipping the gate is ~0.9 s faster in
+    # isolation but ~1-1.7 s SLOWER when the query runs late in a
+    # bench suite — materializing the probe persist inside the
+    # broadcast-build thread of the survivor job interacts badly with
+    # a warm session.  Callers therefore do NOT pass it by default;
+    # it remains for workloads that verified the trade locally.
     if n_keys_bound is None or n_keys_bound > counts_broadcast_rows:
         n_keys = counts.count()
         if n_keys > counts_broadcast_rows:
